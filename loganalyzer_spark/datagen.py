@@ -1,0 +1,312 @@
+"""Deterministic synthetic ``web_pages`` corpus + dimension tables.
+
+``BASELINE.json input_hint`` mandates the input shape
+``(url string, warc_ts timestamp, html binary, text string, lang string)``
+— a Common-Crawl-style table whose ``text`` carries log-like lines in the
+reference's FTP log format (``analyzer/extensions/ftp/patterns.py:19-30``:
+``2022-06-22 14:42:53 10236 1 Command: AUTH TLS`` with optional
+``abn: `` / ``segsign: `` labels).
+
+Everything here is **pure integer arithmetic + string concat seeded by
+doc_id/line_no** (two LCG streams), so the exact same corpus is
+constructible in Spark SQL *and* DuckDB SQL. That is what makes the
+driver's DuckDB oracle able to check the full parse→route→aggregate
+pipeline end to end: both engines derive identical input from the shared
+``documents`` parquet (doc_id, lang), then run the query under test.
+
+Line shapes are modeled on the reference's FTP template library
+(``data/persist/ftp/template_lib.csv``): RETR/STOR commands, response
+statuses, connect traces, GnuTLS errors — with parameters drawn from the
+classes the reference masks (IPv4, 24h times, isolated integers;
+``PTN_HARD_PARA``, ``analyzer/extensions/ftp/patterns.py:99-122``).
+Template frequency is skewed (head template ≈ 35 %) to exercise salted
+aggregation, and ~1 % of lines use a shape *absent* from the template
+library to exercise the new-template fallback (``drain.py:546-600``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_EPOCH_US = 1_655_906_400_000_000  # 2022-06-22 14:00:00 UTC
+
+# ---------------------------------------------------------------------------
+# Template dimension (the reference's template_lib.csv shape: drain.py:763-764)
+# ---------------------------------------------------------------------------
+
+_TEMPLATES = [
+    # (template text with <*> params, severity or None, description)
+    ("Command: RETR <*>", None, "file retrieve"),
+    ("Command: STOR <*>", None, "file store"),
+    ("Response: <*> Login successful", "notice", "login ok"),
+    ("Trace: Connecting to <*> port <*>", None, "connect"),
+    ("Trace: Session time <*> elapsed", None, "session time"),
+    ("Status: Disconnected from server", "warning", "disconnect"),
+    ("Error: GnuTLS error <*> in gnutls_record_recv", "fatal", "tls error"),
+    ("Trace: CControlSocket::SendNextCommand()", None, "socket trace"),
+    ("Response: <*> File not found", "error", "missing file"),
+    ("Trace: Doing ECDH key exchange with curve <*>", None, "key exchange"),
+]
+
+_RE_ESCAPE = set("[](){}.*+?^$|\\")
+
+
+def _tok_regex(tok: str) -> str:
+    if tok == "<*>":
+        return "[^ ]+"
+    return "".join(("\\" + c) if c in _RE_ESCAPE else c for c in tok)
+
+
+def template_regex(template: str) -> str:
+    """Anchored token-wise regex: <*> matches exactly one token.
+
+    Valid in both Java regex (Spark RLIKE) and RE2 (DuckDB).
+    """
+    return "^" + " ".join(_tok_regex(t) for t in template.split(" ")) + "$"
+
+
+def event_id_of(template: str) -> str:
+    """EventId = md5(template)[:8] — the reference's id scheme (drain.py:732)."""
+    return hashlib.md5(template.encode()).hexdigest()[:8]
+
+
+def template_rows() -> list[tuple]:
+    rows = []
+    for tmpl, _sev, _desc in _TEMPLATES:
+        toks = tmpl.split(" ")
+        rows.append(
+            (
+                event_id_of(tmpl),
+                tmpl,
+                len(toks),
+                toks[0],
+                toks[1],
+                sum(1 for t in toks if t == "<*>"),
+                template_regex(tmpl),
+            )
+        )
+    return rows
+
+
+TEMPLATE_SCHEMA = (
+    "event_id string, event_template string, token_count int, "
+    "first_token string, second_token string, para_count int, match_regex string"
+)
+
+
+def kb_rows() -> list[tuple]:
+    """Knowledge-base dim: (event_id, severity, descpt) for known templates.
+
+    Mirrors kb_no_para.yaml entries (extensions/ftp/knowledgebase.py:44-52);
+    templates without an explicit rule default to 'info' at join time.
+    """
+    return [
+        (event_id_of(t), sev if sev else "info", desc)
+        for t, sev, desc in _TEMPLATES
+    ]
+
+
+KB_SCHEMA = "event_id string, severity string, descpt string"
+
+CLASS_ROWS = [
+    ("c001", "critical anomalies"),
+    ("c002", "degradation warnings"),
+    ("c003", "notable events"),
+    ("normal", "normal traffic"),
+]
+
+
+def templates_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(template_rows(), TEMPLATE_SCHEMA)
+
+
+def kb_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(kb_rows(), KB_SCHEMA)
+
+
+def classes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(CLASS_ROWS, "class_id string, descpt string")
+
+
+# ---------------------------------------------------------------------------
+# Dialect-parameterized raw-line derivation
+# ---------------------------------------------------------------------------
+
+
+def _idiv(dialect: str, a: str, b: str) -> str:
+    return f"(({a}) DIV ({b}))" if dialect == "spark" else f"(({a}) // ({b}))"
+
+
+def _hms(dialect: str, s: str) -> str:
+    """secs-of-day -> 'HH:MM:SS'."""
+    h = _idiv(dialect, s, "3600")
+    m = f"({_idiv(dialect, s, '60')} % 60)"
+    return (
+        f"lpad(cast({h} as varchar), 2, '0') || ':' || "
+        f"lpad(cast({m} as varchar), 2, '0') || ':' || "
+        f"lpad(cast(({s}) % 60 as varchar), 2, '0')"
+    )
+
+
+def _content_expr(dialect: str) -> str:
+    """The washed log content per (doc_id, line_no) — the CASE over shapes.
+
+    Skewed shape frequencies (r1 % 100): 0-34 RETR, 35-54 STOR, 55-64 login,
+    65-74 connect, 75-79 session-time, 80-84 disconnect, 85-88 tls-error,
+    89-92 socket-trace, 93-96 file-missing, 97-99 key-exchange; overridden
+    by the out-of-library shape when r1 % 97 == 0 (~1 %).
+    """
+    hms2 = _hms(dialect, "(r2 % 86400)")
+    return f"""
+      CASE
+        WHEN r1 % 97 = 0 THEN 'Trace: Widget state change to ' || cast(r2 % 50 as varchar)
+        WHEN r1 % 100 < 35 THEN 'Command: RETR file_' || cast(r2 % 300 as varchar) || '.dat'
+        WHEN r1 % 100 < 55 THEN 'Command: STOR file_' || cast(r2 % 300 as varchar) || '.dat'
+        WHEN r1 % 100 < 65 THEN 'Response: 230 Login successful'
+        WHEN r1 % 100 < 75 THEN 'Trace: Connecting to 10.' || cast(r2 % 200 as varchar)
+             || '.0.' || cast(r2 % 250 as varchar) || ' port ' || cast(2100 + r2 % 40 as varchar)
+        WHEN r1 % 100 < 80 THEN 'Trace: Session time ' || {hms2} || ' elapsed'
+        WHEN r1 % 100 < 85 THEN 'Status: Disconnected from server'
+        WHEN r1 % 100 < 89 THEN 'Error: GnuTLS error -' || cast(10 + r2 % 20 as varchar)
+             || ' in gnutls_record_recv'
+        WHEN r1 % 100 < 93 THEN 'Trace: CControlSocket::SendNextCommand()'
+        WHEN r1 % 100 < 97 THEN 'Response: 550 File not found'
+        ELSE 'Trace: Doing ECDH key exchange with curve curve' || cast(25519 + r2 % 7 as varchar)
+      END
+    """
+
+
+def raw_lines_sql(dialect: str, docs_from: str, n_docs_cap: int | None = None) -> str:
+    """SELECT producing the synthetic corpus, one row per raw log line.
+
+    Columns: doc_id, url, warc_ts, lang, line_no, raw, content, is_abn,
+    is_seg. ``raw`` is the full physical line (timestamp + labels + pid +
+    sid + content) exactly as the reference's preprocess stage would see it
+    (format per extensions/ftp/patterns.py:19-30); ``content`` is the
+    ground-truth washed content the wash operators must recover.
+
+    ``dialect`` in {'spark', 'duckdb'}; ``docs_from`` is the relation
+    providing (doc_id, lang).
+    """
+    secs = "(50400 + (doc_id % 3600) * 7 + line_no * 3) % 86400"
+    ts_str = f"'2022-06-22 ' || {_hms(dialect, f'({secs})')}"
+    n_lines = "(3 + doc_id % 13)"
+    if dialect == "spark":
+        lateral = (
+            f"LATERAL VIEW explode(sequence(0, {n_lines} - 1)) _t AS line_no"
+        )
+        warc_ts = "timestamp_micros(1655906400000000 + doc_id * 100000)"
+        from_clause = f"FROM {docs_from} {lateral}"
+    else:
+        warc_ts = "make_timestamp(1655906400000000 + doc_id * 100000)"
+        from_clause = (
+            f"FROM {docs_from}, unnest(generate_series(0, {n_lines} - 1)) AS _t(line_no)"
+        )
+    cap = f"WHERE doc_id < {n_docs_cap}" if n_docs_cap else ""
+    sql = f"""
+    WITH _base AS (
+      SELECT doc_id, lang, line_no,
+             (doc_id * 48271 + line_no * 12923) % 100000 AS r1,
+             (doc_id * 16807 + line_no * 69621) % 100000 AS r2
+      {from_clause} {cap}
+    ),
+    _lines AS (
+      SELECT doc_id, lang, line_no, r1, r2,
+             {_content_expr(dialect)} AS content,
+             CASE WHEN r1 % 17 = 0 THEN 1 ELSE 0 END AS is_abn,
+             CASE WHEN r1 % 41 = 0 THEN 1 ELSE 0 END AS is_seg
+      FROM _base
+    )
+    SELECT doc_id,
+           'https://site' || lpad(cast(doc_id % 100 as varchar), 4, '0')
+             || '.example/' || lpad(cast(doc_id as varchar), 8, '0') AS url,
+           {warc_ts} AS warc_ts,
+           lang, line_no,
+           {ts_str} || ' '
+             || CASE WHEN is_abn = 1 THEN 'abn: ' ELSE '' END
+             || CASE WHEN is_seg = 1 THEN 'segsign: ' ELSE '' END
+             || cast(10000 + r2 % 90 as varchar) || ' '
+             || cast(1 + r2 % 9 as varchar) || ' '
+             || content AS raw,
+           content, is_abn, is_seg
+    FROM _lines
+    """
+    # 'varchar' is written throughout; Spark's parser wants 'string'.
+    return sql.replace(" as varchar", " as string") if dialect == "spark" else sql
+
+
+def raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side synthetic corpus derived from the shared documents table."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    ).createOrReplaceTempView("__docs")
+    return spark.sql(raw_lines_sql("spark", "__docs"))
+
+
+def web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint-shaped table: url, warc_ts, html, text, lang.
+
+    text = newline-joined raw lines (deterministic order by line_no);
+    html = utf-8 bytes of text.
+    """
+    lines = raw_lines(spark, sf_dir)
+    return (
+        lines.groupBy("doc_id", "url", "warc_ts", "lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "raw"))
+                    ),
+                    lambda s: s["raw"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .withColumn("html", F.encode("text", "utf-8"))
+        .select("url", "warc_ts", "html", "text", "lang", "doc_id")
+    )
+
+
+def gen_raw_lines(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+    """Standalone large-scale corpus for benchmarks: spark.range-driven,
+    no parquet dependency. Identical line derivation; lang from doc_id.
+    """
+    rng = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    rng.selectExpr(
+        "id as doc_id",
+        "CASE id % 10 WHEN 0 THEN 'de' WHEN 1 THEN 'fr' WHEN 2 THEN 'zh' "
+        "WHEN 3 THEN 'es' ELSE 'en' END as lang",
+    ).createOrReplaceTempView("__gen_docs")
+    return spark.sql(raw_lines_sql("spark", "__gen_docs"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-side dimension literals (for oracle SQL)
+# ---------------------------------------------------------------------------
+
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def duckdb_templates_values() -> str:
+    rows = ",\n      ".join(
+        f"('{r[0]}', '{_sqlq(r[1])}', {r[2]}, '{_sqlq(r[3])}', '{_sqlq(r[4])}', "
+        f"{r[5]}, '{_sqlq(r[6])}')"
+        for r in template_rows()
+    )
+    return (
+        f"(VALUES\n      {rows}\n    ) AS _tl(event_id, event_template, "
+        "token_count, first_token, second_token, para_count, match_regex)"
+    )
+
+
+def duckdb_kb_values() -> str:
+    rows = ",\n      ".join(
+        f"('{r[0]}', '{r[1]}', '{_sqlq(r[2])}')" for r in kb_rows()
+    )
+    return f"(VALUES\n      {rows}\n    ) AS _kb(event_id, severity, descpt)"
