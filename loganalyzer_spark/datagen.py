@@ -300,7 +300,7 @@ def duckdb_templates_values() -> str:
         for r in template_rows()
     )
     return (
-        f"(VALUES\n      {rows}\n    ) AS _tl(event_id, event_template, "
+        f"(VALUES\n      {rows}\n    ) AS t(event_id, event_template, "
         "token_count, first_token, second_token, para_count, match_regex)"
     )
 
@@ -309,4 +309,4 @@ def duckdb_kb_values() -> str:
     rows = ",\n      ".join(
         f"('{r[0]}', '{r[1]}', '{_sqlq(r[2])}')" for r in kb_rows()
     )
-    return f"(VALUES\n      {rows}\n    ) AS _kb(event_id, severity, descpt)"
+    return f"(VALUES\n      {rows}\n    ) AS k(event_id, severity, descpt)"

@@ -1,0 +1,112 @@
+"""Parse stage: page → lines → washed content → masked content.
+
+Re-expresses the reference's fused preprocess scan
+(``preprocess_base.py:217-407``) as narrow column transformations that
+Catalyst whole-stage-codegen fuses back into one pass:
+
+  P1  timestamp match/strip        (preprocess_base.py:272-309)
+  P2  console/pid/sid cleanup      (extensions/ftp/preprocess.py:47-49)
+  P3  empty-line removal           (preprocess_base.py:344-370)
+  P9  'abn: ' label extraction     (preprocess_base.py:508-552)
+  P10 'segsign: ' segmentation     (preprocess_base.py:684-731)
+  P7  hard-parameter masking       (drain.py:880-887) — pandas UDF running
+      the reference's own Python ``re`` patterns, because Java regex and
+      Python re disagree on corner cases; this is the byte-identical
+      per-url invariant surface.
+
+Labels are extracted *before* filtering, so the reference's
+label-handover machinery (preprocess_base.py:101-113) is unnecessary.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from loganalyzer_spark import patterns as P
+
+# Anchored standard-timestamp pattern (Java-regex safe: no lookaround).
+_TS_ANCHOR = "^" + P.SQL_STD_TS
+# pid/sid cleanup — Java regex supports lookahead; IGNORECASE flag as (?i)
+# to match the reference's re.IGNORECASE (ftp/patterns.py:33-40).
+_CLEAN_CHAR = r"(?i)\d+ \d (?=[A-Z][a-z]+: )"
+
+
+def pages_to_lines(pages: DataFrame) -> DataFrame:
+    """input_hint-shaped web_pages → one row per physical line.
+
+    posexplode keeps the in-page line order as an explicit column —
+    Spark guarantees no implicit row order, so every downstream
+    order-sensitive op keys on (doc/url, line_no).
+    """
+    cols = [c for c in ("doc_id", "url", "warc_ts", "lang") if c in pages.columns]
+    return pages.select(
+        *cols, F.posexplode(F.split("text", "\n")).alias("line_no", "raw")
+    )
+
+
+def wash(lines: DataFrame, raw: str = "raw") -> DataFrame:
+    """P1/P2/P3/P9/P10 as pure column expressions (one codegen stage)."""
+    r = F.col(raw)
+    has_label = lambda pat: F.when(  # noqa: E731
+        r.rlike(_TS_ANCHOR.replace("(abn: )?(segsign: )?(c[0-9]{3} )?", "") + pat),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        lines.withColumn("has_ts", r.rlike(_TS_ANCHOR).cast("int"))
+        .withColumn("is_abn", has_label("(abn: )"))
+        .withColumn("is_seg", has_label("(abn: )?(segsign: )"))
+        .withColumn("class_label", F.regexp_extract(raw, _TS_ANCHOR, 7))
+        .withColumn("_stripped", F.regexp_replace(raw, _TS_ANCHOR, ""))
+        .withColumn("content", F.regexp_replace("_stripped", _CLEAN_CHAR, ""))
+        .drop("_stripped")
+        .filter(~F.col("content").rlike("^[ \t]*$"))  # P3 empty-line purge
+    )
+
+
+@F.pandas_udf(T.StringType())
+def mask_params_udf(content: pd.Series) -> pd.Series:
+    """P7: ordered Python-re masking, vectorized over Arrow batches.
+
+    Exactly the reference's chain (drain.py:880-887 applying
+    PTN_HARD_PARA from extensions/ftp/patterns.py:118-124).
+    """
+    s = content
+    for ptn, repl in P.PTN_HARD_PARA:
+        s = s.str.replace(ptn, repl, regex=True)
+    return s
+
+
+def masked_sql_expr(col: str) -> Column:
+    """JVM-side masking (RE2/Java-safe rewrites) — the fast path.
+
+    tests/test_mask_fidelity.py proves byte-equality with
+    ``mask_params_udf`` on the corpus; the pandas UDF remains the
+    reference-fidelity fallback for pattern sets where Java regex
+    semantics diverge.
+    """
+    e = F.regexp_replace(col, P.SQL_CTIME, "<*>")
+    e = F.regexp_replace(e, P.SQL_IPV4, "<*>")
+    e = F.regexp_replace(e, P.SQL_MAC, "<*>")
+    e = F.regexp_replace(e, P.SQL_TIME_24H, " <*>$5")
+    e = F.regexp_replace(e, P.SQL_BARE_INT, " <*> ")
+    return e
+
+
+def mask(lines: DataFrame, content: str = "content", jvm: bool = True) -> DataFrame:
+    masked = masked_sql_expr(content) if jvm else mask_params_udf(F.col(content))
+    return lines.withColumn("masked", masked)
+
+
+def sessionize(lines: DataFrame, part: str = "doc_id", order: str = "line_no") -> DataFrame:
+    """P10: running sum of boundary flags → session_id within a partition.
+
+    The reference derives session sizes with a sequential scan
+    (preprocess_base.py:684-731); a window running-sum is the
+    shuffle-minimal Spark equivalent (partitioned by document, so it
+    scales — no global ordering).
+    """
+    w = Window.partitionBy(part).orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    return lines.withColumn("session_id", F.sum("is_seg").over(w))

@@ -1,0 +1,400 @@
+"""Query registry: every implemented operator exposed as a
+(spark_callable, duckdb_oracle_sql) pair for the driver contract
+(``__spark_entry__.py``).
+
+Spark callables run the real operators; oracle SQL re-derives the same
+result independently in DuckDB (RE2 regexes, SQL windows), over the
+shared read-only parquet tables. Column aliases match exactly — the
+driver hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from loganalyzer_spark import datagen, pipeline
+from loganalyzer_spark.operators import aggregate as A
+from loganalyzer_spark.operators import match as M
+from loganalyzer_spark.operators import parse as P
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(sf_dir: str, name: str):
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = datagen.raw_lines(spark, sf_dir)
+    return pipeline.routed_lines(spark, lines)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-side pipeline CTE (independent rederivation of parse→route)
+# ---------------------------------------------------------------------------
+
+
+def _pipe_cte() -> str:
+    from loganalyzer_spark.datagen import (
+        duckdb_kb_values,
+        duckdb_templates_values,
+        raw_lines_sql,
+    )
+    from loganalyzer_spark.patterns import duckdb_mask_expr
+
+    return f"""
+WITH _lines AS ({raw_lines_sql('duckdb', 'documents')}),
+_masked AS (
+  SELECT doc_id, url, warc_ts, lang, line_no, raw, content, is_abn, is_seg,
+         {duckdb_mask_expr('content')} AS masked
+  FROM _lines
+),
+_matched AS (
+  SELECT m.doc_id, m.url, m.warc_ts, m.lang, m.line_no, m.raw, m.content,
+         m.is_abn, m.is_seg, m.masked,
+         coalesce(t.event_id, substr(md5(m.masked), 1, 8)) AS event_id,
+         coalesce(t.event_template, m.masked) AS event_template,
+         CASE WHEN t.event_id IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT *, len(string_split(masked, ' ')) AS tc,
+               string_split(masked, ' ')[1] AS ft
+        FROM _masked) m
+  LEFT JOIN {duckdb_templates_values()}
+    ON m.tc = t.token_count AND m.ft = t.first_token
+   AND regexp_matches(m.masked, t.match_regex)
+  QUALIFY row_number() OVER (
+      PARTITION BY m.doc_id, m.line_no
+      ORDER BY t.para_count DESC NULLS LAST, t.event_id) = 1
+),
+_routed AS (
+  SELECT e.*,
+         CASE WHEN e.is_abn = 1 THEN 'c001'
+              WHEN e.severity IN ('fatal', 'error') THEN 'c001'
+              WHEN e.severity = 'warning' THEN 'c002'
+              WHEN e.severity = 'notice' THEN 'c003'
+              ELSE 'normal' END AS sink_class
+  FROM (SELECT ma.*, coalesce(k.severity, 'info') AS severity
+        FROM _matched ma
+        LEFT JOIN {duckdb_kb_values()} USING (event_id)) e
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pipeline family (north-star parse → route → aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parse_wash",
+    _pipe_cte() + "SELECT doc_id, line_no, content, is_abn, is_seg FROM _lines",
+)
+def parse_wash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P9/P10 wash: recover content + labels from raw physical lines.
+
+    Oracle compares against the generator's ground-truth columns.
+    """
+    lines = P.wash(datagen.raw_lines(spark, sf_dir).drop("content", "is_abn", "is_seg"))
+    return lines.select("doc_id", "line_no", "content", "is_abn", "is_seg")
+
+
+@register(
+    "parse_mask",
+    _pipe_cte() + "SELECT doc_id, line_no, masked FROM _masked",
+)
+def parse_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 hard-parameter masking (byte-identity surface)."""
+    lines = P.mask(P.wash(datagen.raw_lines(spark, sf_dir).drop("content", "is_abn", "is_seg")))
+    return lines.select("doc_id", "line_no", "masked")
+
+
+@register(
+    "pipeline_routed",
+    _pipe_cte()
+    + """SELECT doc_id, line_no, url, event_id, severity, sink_class,
+               cast(is_new as int) AS is_new FROM _routed""",
+)
+def pipeline_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-row equality: every line lands in exactly one sink class."""
+    return _routed(spark, sf_dir).select(
+        "doc_id", "line_no", "url", "event_id", "severity", "sink_class",
+        F.col("is_new").cast("int").alias("is_new"),
+    )
+
+
+@register(
+    "pipeline_sink_ecm",
+    _pipe_cte()
+    + """SELECT sink_class, time_bucket(INTERVAL '1 minute', warc_ts) AS bucket_start,
+               event_id, count(*) AS cnt
+        FROM _routed GROUP BY 1, 2, 3""",
+)
+def pipeline_sink_ecm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 flagship: exact per-sink (warc_ts bucket × event_id) counts."""
+    return A.sink_ecm(_routed(spark, sf_dir), "1 minute")
+
+
+@register(
+    "template_occurrences",
+    _pipe_cte() + "SELECT event_id, count(*) AS occurrences FROM _matched GROUP BY 1",
+)
+def template_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-template counts (drain.py:731,755)."""
+    return A.event_counts(_routed(spark, sf_dir))
+
+
+@register(
+    "template_occurrences_salted",
+    _pipe_cte() + "SELECT event_id, count(*) AS occurrences FROM _matched GROUP BY 1",
+)
+def template_occurrences_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 via explicit two-level salted aggregation (skew path)."""
+    return A.salted_event_counts(_routed(spark, sf_dir))
+
+
+@register(
+    "new_templates",
+    _pipe_cte()
+    + "SELECT DISTINCT event_id, event_template FROM _matched WHERE is_new = 1",
+)
+def new_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: unmatched lines become their own template (drain.py:546-600)."""
+    return (
+        _routed(spark, sf_dir)
+        .filter(F.col("is_new") == 1)
+        .select("event_id", "event_template")
+        .distinct()
+    )
+
+
+@register(
+    "params_extract",
+    _pipe_cte()
+    + """SELECT doc_id, line_no,
+               coalesce(array_to_string(
+                 list_filter(string_split(masked, ' '),
+                             (x, i) -> string_split(event_template, ' ')[i] = '<*>'),
+                 '|'), '') AS params_str
+        FROM _matched
+        WHERE len(string_split(event_template, ' ')) = len(string_split(masked, ' '))""",
+)
+def params_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: template-parameter extraction via zip_with (no UDF)."""
+    df = M.extract_params(_routed(spark, sf_dir))
+    return df.filter(
+        F.size(F.split("event_template", " ")) == F.size(F.split("masked", " "))
+    ).select(
+        "doc_id", "line_no", F.array_join("params", "|").alias("params_str")
+    )
+
+
+@register(
+    "sessionize_lines",
+    _pipe_cte()
+    + """SELECT doc_id, line_no,
+               cast(sum(is_seg) OVER (PARTITION BY doc_id ORDER BY line_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+        FROM _lines""",
+)
+def sessionize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: 'segsign: ' boundary flags → running-sum session ids."""
+    lines = P.wash(datagen.raw_lines(spark, sf_dir).drop("content", "is_abn", "is_seg"))
+    return P.sessionize(lines).select(
+        "doc_id", "line_no", F.col("session_id").cast("long").alias("session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window aggregates over the events table (A5/A12 analogues)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_counts",
+    """
+    SELECT ws AS win_start, ws + INTERVAL 10 SECOND AS win_end, event_type,
+           count(*) AS cnt
+    FROM (SELECT e.*, time_bucket(INTERVAL '5 seconds', ts)
+                      - to_milliseconds(g.k * 5000) AS ws
+          FROM events e, (VALUES (0), (1)) g(k))
+    WHERE ts >= ws AND ts < ws + INTERVAL 10 SECOND
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: Loglizer's sliding time windows (loglizer.py:161-295)."""
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    return A.sliding_counts(events, size="10 seconds", slide="5 seconds")
+
+
+@register(
+    "tumbling_window_stats",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+           count(*) AS cnt, round(sum(value), 4) AS total_value,
+           count(DISTINCT user_id) AS users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 analogue on the events table: tumbling 1h event-count matrix."""
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt",
+                "total_value", "users")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start
+    FROM (
+      SELECT user_id, ts,
+             cast(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events))
+    GROUP BY 1, 2
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch analogue of session_window)."""
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1e6
+    gap = ts_s - F.lag(ts_s).over(w)
+    df = events.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return df.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family: chained broadcast-join enrichment against dims."""
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    n = spark.read.parquet(_t(sf_dir, "nation"))
+    r = spark.read.parquet(_t(sf_dir, "region"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn AS rank
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 cast(row_number() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: top-k per group via ranking window."""
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )

@@ -1,0 +1,122 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB (same parquet tables), then compares
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = np.round(s.astype("float64"), 6)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None)
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+        else:
+            try:
+                df[c] = s.astype("int64")
+            except (TypeError, ValueError):
+                df[c] = s.astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> bool:
+    ok = True
+    if len(sdf) != len(ddf):
+        print(f"  [{name}] ROWCOUNT spark={len(sdf)} duckdb={len(ddf)}")
+        ok = False
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        print(f"  [{name}] SCHEMA spark={sorted(sdf.columns)} duckdb={sorted(ddf.columns)}")
+        return False
+    if not ok:
+        return False
+    a, b = normalize(sdf), normalize(ddf)
+    for c in a.columns:
+        ca, cb = a[c], b[c]
+        if pd.api.types.is_float_dtype(ca) or pd.api.types.is_float_dtype(cb):
+            same = np.allclose(
+                ca.astype(float), cb.astype(float), rtol=1e-6, atol=1e-6, equal_nan=True
+            )
+        else:
+            same = (ca.astype(str) == cb.astype(str)).all()
+        if not same:
+            bad = (ca.astype(str) != cb.astype(str))
+            idx = bad[bad].index[:3]
+            print(f"  [{name}] VALUES differ in column {c}; e.g.:")
+            for i in idx:
+                print(f"    spark={ca[i]!r} duckdb={cb[i]!r}")
+            ok = False
+    return ok
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from loganalyzer_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        if compare(name, sdf, ddf):
+            print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak/rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
