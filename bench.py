@@ -1,0 +1,87 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Times (a) each headline query from the registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and (b) the end-to-end
+parse→match→enrich→route→aggregate pipeline over a deterministically
+generated corpus (SPARK_GRAFT_BENCH_DOCS docs, default 200k ≈ 1.8M
+lines), reporting docs/sec.
+
+Runs on local[$SPARK_GRAFT_CPUS] (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pipeline_routed",
+    "pipeline_sink_ecm",
+    "template_occurrences",
+    "parse_mask",
+    "sliding_window_counts",
+    "tumbling_window_stats",
+    "sessionize_events",
+    "tpch_q1",
+    "region_revenue",
+    "topk_orders_per_priority",
+]
+
+
+def _run_count(df) -> int:
+    # count() is the cheapest full-materialization action: the whole
+    # plan executes, nothing is pulled to the driver.
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+
+    from loganalyzer_spark import datagen, pipeline
+    from loganalyzer_spark import queries as qmod
+    from loganalyzer_spark.session import get_spark
+
+    spark = get_spark(app="loganalyzer_spark_bench")
+
+    registry = qmod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        df = registry[name](spark, sf_dir)
+        t0 = time.time()
+        _run_count(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # End-to-end throughput over the generated corpus.
+    lines = datagen.gen_raw_lines(spark, n_docs)
+    routed = pipeline.routed_lines(spark, lines)
+    agg = pipeline.sink_aggregates(routed, "1 minute")
+    t0 = time.time()
+    n_groups = _run_count(agg)
+    e2e = time.time() - t0
+    timings["pipeline_e2e_gen"] = round(e2e, 3)
+
+    total = sum(timings.values())
+    out = {
+        "metric": "headline_queries_plus_e2e_pipeline_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "e2e_docs": n_docs,
+        "e2e_docs_per_sec": round(n_docs / e2e, 1),
+        "e2e_agg_groups": n_groups,
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

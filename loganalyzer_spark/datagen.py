@@ -119,6 +119,29 @@ CLASS_ROWS = [
 ]
 
 
+def vocab_rows() -> list[tuple[str, int]]:
+    """F5 vocab dim: event_id → dense index; deterministic (seeded —
+    the reference's shuffle is unseeded, modern_base.py:89, which SURVEY
+    §4.5 flags as a bug to fix). Last slot reserved for unknown ids
+    (modern_base.py:91, deeplog.py:170)."""
+    ids = sorted(r[0] for r in template_rows())
+    rows = [(e, i) for i, e in enumerate(ids)]
+    rows.append(("ffffffff", len(ids)))
+    return rows
+
+
+VOCAB_SIZE = len(_TEMPLATES) + 1
+
+
+def vocab_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(vocab_rows(), "event_id string, vocab_idx int")
+
+
+def duckdb_vocab_values() -> str:
+    rows = ",\n      ".join(f"('{e}', {i})" for e, i in vocab_rows())
+    return f"(VALUES\n      {rows}\n    ) AS v(event_id, vocab_idx)"
+
+
 def templates_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(template_rows(), TEMPLATE_SCHEMA)
 

@@ -82,9 +82,10 @@ def ecm_vectors(ecm_flat: DataFrame, vocab: DataFrame, size: int) -> DataFrame:
     return per_idx.groupBy("sink_class", "bucket_start").agg(
         F.aggregate(
             F.collect_list(F.struct("idx", "c")),
-            F.expr(f"array_repeat(0D, {size})"),
-            lambda acc, x: F.expr(
-                "transform(acc, (v, i) -> CASE WHEN i = x.idx THEN v + x.c ELSE v END)"
+            F.expr(f"array_repeat(0L, {size})"),
+            lambda acc, x: F.transform(
+                acc,
+                lambda v, i: F.when(i == x["idx"], v + x["c"]).otherwise(v),
             ),
         ).alias("vec")
     )
@@ -171,10 +172,13 @@ def dedup_lines(lines: DataFrame, col: str = "raw") -> DataFrame:
         lines.groupBy(col)
         .agg(
             F.count("*").alias("n"),
-            F.sort_array(
-                F.collect_list(
-                    F.concat_ws(":", F.col("doc_id"), F.col("line_no"))
-                )
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("doc_id"), F.col("line_no"))
+                    )
+                ),
+                "|",
             ).alias("locations"),
         )
         .filter(F.col("n") > 1)

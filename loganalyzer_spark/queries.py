@@ -55,6 +55,12 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+def _lines_cte() -> str:
+    from loganalyzer_spark.datagen import raw_lines_sql
+
+    return f"WITH _lines AS ({raw_lines_sql('duckdb', 'documents')})"
+
 def _pipe_cte() -> str:
     from loganalyzer_spark.datagen import (
         duckdb_kb_values,
@@ -397,4 +403,261 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fold (M2), ECM vectors (J1/A2-A4), tf-idf (A6), context windows (A2),
+# sequences (A8), duplicate lines (A10), set ops (§2.9)
+# ---------------------------------------------------------------------------
+
+_NESTED_DERIVE = """
+_n AS (
+  SELECT doc_id, line_no,
+         CASE WHEN (doc_id * 48271 + line_no * 12923) % 100000 % 7 = 3
+                   AND line_no > 0
+              THEN '    ' || content ELSE raw END AS raw2
+  FROM _lines
+),
+_g AS (
+  SELECT doc_id, line_no, raw2,
+         CASE WHEN regexp_matches(raw2, '^[ \t]') THEN 0 ELSE 1 END AS prim
+  FROM _n
+),
+_fg AS (
+  SELECT doc_id, line_no, raw2, prim,
+         cast(sum(prim) OVER (PARTITION BY doc_id ORDER BY line_no
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS fold_grp
+  FROM _g
+)
+"""
+
+
+def _nested_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = datagen.raw_lines(spark, sf_dir)
+    nested = (
+        F.expr("(doc_id * 48271 + line_no * 12923) % 100000 % 7 = 3")
+        & (F.col("line_no") > 0)
+    )
+    return lines.withColumn(
+        "raw2",
+        F.when(nested, F.concat(F.lit("    "), F.col("content"))).otherwise(
+            F.col("raw")
+        ),
+    )
+
+
+@register(
+    "nested_fold",
+    _lines_cte()
+    + ",\n"
+    + _NESTED_DERIVE
+    + """
+    SELECT doc_id, fold_grp, min(line_no) AS line_no,
+           string_agg(CASE WHEN prim = 1 THEN rtrim(raw2)
+                           ELSE ltrim(rtrim(raw2)) END,
+                      ', ' ORDER BY line_no) AS folded
+    FROM _fg GROUP BY doc_id, fold_grp
+    """,
+)
+def nested_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: nested-line folding via window running-sum + ordered concat."""
+    from loganalyzer_spark.operators import fold as FO
+
+    out = FO.fold_lines(_nested_lines(spark, sf_dir), raw="raw2")
+    return out.select(
+        "doc_id", F.col("fold_grp").cast("long").alias("fold_grp"),
+        "line_no", "folded",
+    )
+
+
+@register(
+    "nested_fold_narrow",
+    _lines_cte()
+    + ",\n"
+    + _NESTED_DERIVE
+    + """
+    SELECT doc_id, fold_grp,
+           string_agg(CASE WHEN prim = 1 THEN rtrim(raw2)
+                           ELSE ltrim(rtrim(raw2)) END,
+                      ', ' ORDER BY line_no) AS folded
+    FROM _fg GROUP BY doc_id, fold_grp
+    """,
+)
+def nested_fold_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 narrow form: the fold runs inside each page's line array
+    (zero shuffles) — must equal the window formulation."""
+    from loganalyzer_spark.operators import fold as FO
+
+    l2 = _nested_lines(spark, sf_dir)
+    pages = l2.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "raw2"))),
+                lambda s: s["raw2"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    out = FO.fold_page_text(pages)
+    return out.select(
+        "doc_id", (F.col("fold_grp") + 1).cast("long").alias("fold_grp"), "folded"
+    )
+
+
+def _ecm_cte() -> str:
+    from loganalyzer_spark.datagen import duckdb_vocab_values
+
+    return (
+        _pipe_cte()
+        + """, _ecm AS (
+  SELECT sink_class, time_bucket(INTERVAL '1 minute', warc_ts) AS bucket_start,
+         event_id, count(*) AS cnt
+  FROM _routed GROUP BY 1, 2, 3
+)"""
+    )
+
+
+@register(
+    "ecm_vectors",
+    _ecm_cte()
+    + f""",
+_idx AS (
+  SELECT e.sink_class, e.bucket_start, coalesce(v.vocab_idx, 10) AS idx,
+         sum(e.cnt) AS c
+  FROM _ecm e LEFT JOIN {__import__('loganalyzer_spark.datagen', fromlist=['duckdb_vocab_values']).duckdb_vocab_values()} USING (event_id)
+  GROUP BY 1, 2, 3
+),
+_grid AS (SELECT DISTINCT sink_class, bucket_start FROM _idx),
+_cells AS (
+  SELECT g.sink_class, g.bucket_start, s.i, coalesce(x.c, 0) AS c
+  FROM _grid g CROSS JOIN generate_series(0, 10) s(i)
+  LEFT JOIN _idx x ON x.sink_class = g.sink_class
+       AND x.bucket_start = g.bucket_start AND x.idx = s.i)
+SELECT sink_class, bucket_start,
+       string_agg(cast(c AS varchar), '|' ORDER BY i) AS vec_str
+FROM _cells GROUP BY 1, 2
+""",
+)
+def ecm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + ECM: dense count vectors via broadcast vocab join."""
+    ecm = A.sink_ecm(_routed(spark, sf_dir), "1 minute")
+    vec = A.ecm_vectors(ecm, datagen.vocab_df(spark), datagen.VOCAB_SIZE)
+    return vec.select(
+        "sink_class", "bucket_start",
+        F.expr("array_join(transform(vec, v -> cast(v as string)), '|')").alias(
+            "vec_str"
+        ),
+    )
+
+
+@register(
+    "tfidf_buckets",
+    _ecm_cte()
+    + """,
+_df AS (SELECT event_id, count(*) AS dfreq FROM _ecm GROUP BY 1),
+_tot AS (SELECT count(*) AS n
+         FROM (SELECT DISTINCT sink_class, bucket_start FROM _ecm))
+SELECT e.sink_class, e.bucket_start, e.event_id, e.cnt,
+       round(e.cnt * ln(n / (dfreq + 1e-8)), 6) AS tfidf
+FROM _ecm e JOIN _df USING (event_id) CROSS JOIN _tot
+""",
+)
+def tfidf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the reference's manual tf-idf weighting (loglizer.py:297-341)."""
+    ecm = A.sink_ecm(_routed(spark, sf_dir), "1 minute")
+    out = A.tfidf(ecm, ["sink_class", "bucket_start"])
+    return out.select(
+        "sink_class", "bucket_start", "event_id", "cnt",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+@register(
+    "context_window_flags",
+    _pipe_cte()
+    + """
+    SELECT doc_id, line_no,
+           max(CASE WHEN severity != 'info' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY line_no
+                   ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS in_context
+    FROM _routed
+    """,
+)
+def context_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: Loglab ±window context flag (loglab.py:341-417)."""
+    out = A.context_window_counts(_routed(spark, sf_dir), 10)
+    return out.select("doc_id", "line_no", "in_context")
+
+
+@register(
+    "sequence_windows",
+    _pipe_cte()
+    + """,
+_s AS (
+  SELECT r.*, cast(sum(is_seg) OVER (PARTITION BY doc_id ORDER BY line_no
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM _routed r)
+SELECT doc_id, session_id, line_no, seq_str, target, label FROM (
+  SELECT doc_id, session_id, line_no,
+         array_to_string(list(event_id) OVER w2, '|') AS seq_str,
+         lead(event_id, 5) OVER w1 AS target,
+         max(is_abn) OVER w2 AS label,
+         count(*) OVER w2 AS wn
+  FROM _s
+  WINDOW w1 AS (PARTITION BY doc_id, session_id ORDER BY line_no),
+         w2 AS (PARTITION BY doc_id, session_id ORDER BY line_no
+                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+WHERE wn = 5 AND target IS NOT NULL
+""",
+)
+def sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: DeepLog sequence slicing (deeplog.py:200-277)."""
+    routed = P.sessionize(_routed(spark, sf_dir))
+    seq = A.sequence_windows(routed, win=5)
+    return seq.select(
+        "doc_id", F.col("session_id").cast("long").alias("session_id"),
+        "line_no", F.array_join("seq", "|").alias("seq_str"), "target", "label",
+    )
+
+
+@register(
+    "dup_lines",
+    _pipe_cte()
+    + """
+    SELECT content, n, locations FROM (
+      SELECT content, count(*) AS n,
+             string_agg(cast(doc_id AS varchar) || ':' || cast(line_no AS varchar),
+                        '|' ORDER BY cast(doc_id AS varchar) || ':' ||
+                                     cast(line_no AS varchar)) AS locations
+      FROM _lines GROUP BY content)
+    WHERE n > 1
+    """,
+)
+def dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: duplicate-line checker (misc_tools.py:35-43)."""
+    lines = datagen.raw_lines(spark, sf_dir)
+    return A.dedup_lines(lines, "content")
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o\n                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    GROUP BY 1
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 set ops: left_anti join (the reference's set() membership
+    diffs, loglab.py:107-112)."""
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return (
+        c.join(o.filter(F.col("o_totalprice") > 400000),
+               c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
     )
