@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's duplicate-line checker (misc_tools.py:35-43),
+these are the web-scale training-data-pipeline ops: exact hash dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification.
+
+All hashing is md5-derived (``conv(substr(md5(x),1,15),16,10)`` — a
+60-bit unsigned int) so results are engine-independent and
+DuckDB-oracle-checkable; no reliance on Spark's internal ``hash()``.
+
+Scale notes:
+  * Exact dedup: one hash-groupBy shuffle on the digest — the digest is
+    uniform, so no skew.
+  * MinHash/LSH: signatures are narrow per-row projections; the only
+    shuffle is the band-bucket self-join, whose key cardinality
+    (band_id × band_hash) is high by construction.
+  * Pair generation dedupes (a < b) to avoid mirrored pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (a_k, b_k) parameters for the k-th universal hash h_k(x) = (a*x + b) % P.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    # Deterministic LCG-derived coefficients; a must be non-zero.
+    out = []
+    s = 88172645463325252
+    for _ in range(k):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = (s % (MINHASH_PRIME - 1)) + 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = s % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def _hash60(col) -> F.Column:
+    """60-bit integer hash of a string, identical across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def with_shingles(docs: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles as an array column (distinct per doc)."""
+    # shingle i (1-based) = tokens[i..i+n-1] joined; guard the empty case —
+    # Spark's sequence(1, 0) would generate a *descending* range.
+    expr = (
+        f"CASE WHEN size(split(lower({text}), '\\\\s+')) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(split(lower({text}), '\\\\s+')) - {n} + 1),"
+        f" i -> array_join(slice(split(lower({text}), '\\\\s+'), i, {n}), ' ')) END"
+    )
+    return docs.withColumn("shingles", F.array_distinct(F.expr(expr)))
+
+
+def exact_dedup(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup groups: digest → (n, canonical=min key, members)."""
+    return (
+        docs.withColumn("digest", F.md5(F.col(text)))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(key).alias("canonical"),
+            F.sort_array(F.collect_list(key)).alias("members"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, key: str = "doc_id", text: str = "text",
+    n: int = 3, num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: sig[k] = min over shingles of h_k(H(s)).
+
+    Pure column expressions: shingle→hash60, then per-k transform+min.
+    Empty shingle sets hash to the reserved max value.
+    """
+    params = minhash_params(num_hashes)
+    df = with_shingles(docs, text, n).withColumn(
+        "sh_hashes", F.transform("shingles", lambda s: _hash60(s))
+    )
+
+    def perm(a: int, b: int):
+        return lambda h: (h % MINHASH_PRIME * a + b) % MINHASH_PRIME
+
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform("sh_hashes", perm(a, b))),
+                F.lit(MINHASH_PRIME),
+            )
+            for a, b in params
+        ]
+    )
+    return df.select(key, "shingles", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, key: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash.
+
+    Output: (a, b) candidate pairs with a < b, distinct.
+    """
+    num_hashes = None  # inferred from sig at runtime via slice exprs
+    rows_per_band_expr = f"int(size(sig) / {bands})"
+    banded = sigs.select(
+        F.col(key).alias("k"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands} - 1),"
+                f" b -> md5(array_join(slice(sig, b * {rows_per_band_expr} + 1,"
+                f" {rows_per_band_expr}), '_')))"
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    other = banded.select(
+        F.col("k").alias("k2"), "band_id", F.col("band_hash").alias("band_hash2")
+    )
+    return (
+        banded.join(
+            other,
+            (banded.band_id == other.band_id)
+            & (banded.band_hash == other.band_hash2)
+            & (banded.k < other.k2),
+        )
+        .select(F.col("k").alias("a"), F.col("k2").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, key: str = "doc_id", n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs (verification step).
+
+    jaccard = |A ∩ B| / |A ∪ B| over distinct shingle sets.
+    """
+    sh = with_shingles(docs, "text", n).select(
+        F.col(key).alias("k"), F.col("shingles").alias("sh")
+    )
+    a = sh.select(F.col("k").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("k").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over word tokens.
+
+    Bit b of the fingerprint is 1 iff Σ_tokens sign(bit b of H(token))
+    > 0 (unweighted). Pure column expressions: per-bit aggregate over
+    the token-hash array.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.col(text)), "\\s+"))
+    df = docs.withColumn("tok_hashes", F.transform(toks, lambda t: _hash60(t)))
+
+    def bit_merge(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sum = [
+        F.aggregate("tok_hashes", F.lit(0).cast("long"), bit_merge(b))
+        for b in range(bits)
+    ]
+    fp = None
+    for b, s in enumerate(bit_sum):
+        term = F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return df.select(key, fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, key: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash fingerprints.
+
+    Scale path: block on fingerprint quarters (a pair within distance d
+    must agree on ≥1 of d+1 blocks) then verify with bit_count(xor).
+    """
+    nblocks = max_hamming + 1
+    blocked = fps.select(
+        F.col(key).alias("k"),
+        F.col("simhash").alias("fp"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 32 // nblocks * i).bitwiseAND(
+                        F.lit((1 << (32 // nblocks)) - 1)
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    other = blocked.select(
+        F.col("k").alias("k2"), F.col("fp").alias("fp2"),
+        "block_id", F.col("block_val").alias("block_val2"),
+    )
+    return (
+        blocked.join(
+            other,
+            (blocked.block_id == other.block_id)
+            & (blocked.block_val == other.block_val2)
+            & (blocked.k < other.k2),
+        )
+        .select(F.col("k").alias("a"), F.col("k2").alias("b"), "fp", "fp2")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp").bitwiseXOR(F.col("fp2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

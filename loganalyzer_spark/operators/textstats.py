@@ -1,0 +1,115 @@
+"""Text-analysis operators for the documents corpus: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage codegen); the
+hashes are md5-derived so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword-ratio
+# language heuristic. Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "no", "por"],
+}
+
+
+def _tokens(text: str) -> F.Column:
+    return F.split(F.lower(F.col(text)), "\\s+")
+
+
+def token_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (ceil(chars/4) is the common ~4-chars/token heuristic)."""
+    toks = _tokens(text)
+    return docs.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_subwords",
+        F.ceil(F.length(F.col(text)).cast("double") / 4).cast("long"),
+    )
+
+
+def quality_score(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    mean word length; score = weighted combination in [0, 1]-ish."""
+    toks = _tokens(text)
+    n_chars = F.length(F.col(text))
+    n_punct = n_chars - F.length(F.regexp_replace(text, "[\\.,;:!\\?]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_toks = F.size(toks)
+    mean_len = F.when(
+        n_toks > 0, (n_chars - (n_toks - 1)).cast("double") / n_toks
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, n_stop.cast("double") / n_toks).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_toks.cast("double") / 50, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+        + F.least(mean_len / 8, F.lit(1.0)) * 0.1
+    )
+    return (
+        docs.withColumn("n_toks", n_toks)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_len, 6))
+        .withColumn("quality", F.round(score, 6))
+    )
+
+
+def lang_id(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: argmax over per-language hit
+    counts, 'und' (undetermined) when all are zero. Ties break by
+    language code order for determinism."""
+    toks = _tokens(text)
+    def contains(arr):
+        return lambda t: F.array_contains(arr, t)
+
+    hit_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(toks, contains(arr))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*hit_cols))
+    return docs.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_hits", best["hits"])
+
+
+def fingerprint(docs: DataFrame, text: str = "text", k: int = 4) -> DataFrame:
+    """Document fingerprint: min-hash of character k-gram window hashes
+    over the normalized text (winnowing-lite / rolling-hash family).
+
+    fingerprint = min over i of H(substr(norm_text, i, k)); H = 60-bit
+    md5 prefix. Deterministic, engine-independent.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text)), "[^a-z0-9]", "")
+    grams = F.expr(
+        f"CASE WHEN length(regexp_replace(lower({text}), '[^a-z0-9]', '')) < {k} "
+        f"THEN array(regexp_replace(lower({text}), '[^a-z0-9]', '')) "
+        f"ELSE transform(sequence(1, length(regexp_replace(lower({text}), '[^a-z0-9]', '')) - {k} + 1), "
+        f"i -> substring(regexp_replace(lower({text}), '[^a-z0-9]', ''), i, {k})) END"
+    )
+    fp = F.array_min(
+        F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        )
+    )
+    return docs.withColumn("norm_len", F.length(norm)).withColumn(
+        "fingerprint", fp
+    )

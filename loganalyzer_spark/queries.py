@@ -661,3 +661,313 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+from loganalyzer_spark.operators import dedup as DD  # noqa: E402
+from loganalyzer_spark.operators import similarity as SIM  # noqa: E402
+from loganalyzer_spark.operators import textstats as TS  # noqa: E402
+
+_H60 = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
+_P = DD.MINHASH_PRIME
+
+
+def _docs2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated twins (first token dropped, doc_id+10000) —
+    a deterministic near-duplicate corpus for the dedup family."""
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    twin = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", "^[^ ]+ ", "").alias("text"),
+    )
+    return d.unionByName(twin)
+
+
+_DOCS2_SQL = """
+_docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^[^ ]+ ', '') AS text
+  FROM documents
+)
+"""
+
+
+def _minhash_oracle_cols() -> str:
+    cols = []
+    for j, (a, b) in enumerate(DD.minhash_params(16)):
+        cols.append(
+            f"coalesce(min((h % {_P} * {a} + {b}) % {_P}), {_P}) AS s{j}"
+        )
+    return ",\n         ".join(cols)
+
+
+_SHINGLE_CTE = f"""
+_tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM _docs2),
+_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM _tok)
+  WHERE i IS NOT NULL
+),
+_shh AS (SELECT doc_id, {_H60.format('s')} AS h FROM _sh),
+_sig AS (
+  SELECT d.doc_id, {{sigcols}}
+  FROM _docs2 d LEFT JOIN _shh ON _shh.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+""".replace("{sigcols}", _minhash_oracle_cols())
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, count(*) AS n,
+           min(doc_id) AS canonical,
+           string_agg(cast(doc_id AS varchar), '|' ORDER BY doc_id) AS members_str
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash-groupBy) dedup groups over document text."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    out = DD.exact_dedup(d.filter(F.lit(True)), "doc_id", "text")
+    # emit all groups (n >= 1) so the digest+grouping math is exercised
+    return out.select(
+        "digest", "n", "canonical",
+        F.array_join(F.transform("members", lambda m: m.cast("string")), "|").alias(
+            "members_str"
+        ),
+    )
+
+
+@register(
+    "minhash_signatures",
+    "WITH " + _DOCS2_SQL.strip().removeprefix("_docs2 AS").join(["_docs2 AS", ""])
+    + ", " + _SHINGLE_CTE.strip().strip(",")
+    + """
+    SELECT doc_id,
+           """ +
+    " || '|' || ".join(f"cast(s{j} AS varchar)" for j in range(16)) +
+    """ AS sig_str
+    FROM _sig
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 md5-derived universal hashes, 3-shingles)."""
+    sigs = DD.minhash_signatures(_docs2_spark(spark, sf_dir), num_hashes=16, n=3)
+    return sigs.select(
+        "doc_id",
+        F.expr("array_join(transform(sig, s -> cast(s as string)), '|')").alias(
+            "sig_str"
+        ),
+    )
+
+
+@register(
+    "minhash_lsh_near_dups",
+    "WITH " + _DOCS2_SQL.strip().removeprefix("_docs2 AS").join(["_docs2 AS", ""])
+    + ", " + _SHINGLE_CTE.strip().strip(",")
+    + """,
+_bands AS (
+  SELECT doc_id, b,
+         md5(CASE b
+           """ + "\n           ".join(
+        f"WHEN {b} THEN " + " || '_' || ".join(
+            f"cast(s{j} AS varchar)" for j in range(b * 4, b * 4 + 4))
+        for b in range(4)) + """
+         END) AS band_hash
+  FROM _sig, unnest(generate_series(0, 3)) AS t(b)
+),
+_cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM _bands x JOIN _bands y
+    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+_shs AS (SELECT doc_id, list(DISTINCT s) AS ss FROM _sh GROUP BY doc_id)
+SELECT c.a, c.b,
+       round(len(list_intersect(sa.ss, sb.ss))::DOUBLE /
+             len(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard
+FROM _cand c
+JOIN _shs sa ON sa.doc_id = c.a
+JOIN _shs sb ON sb.doc_id = c.b
+WHERE len(list_intersect(sa.ss, sb.ss))::DOUBLE /
+      len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.5
+""",
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH banding → candidate join → exact Jaccard verify."""
+    docs2 = _docs2_spark(spark, sf_dir)
+    sigs = DD.minhash_signatures(docs2, num_hashes=16, n=3)
+    pairs = DD.lsh_candidate_pairs(sigs, bands=4)
+    return DD.jaccard_pairs(docs2, pairs, n=3, threshold=0.5)
+
+
+@register(
+    "simhash_fingerprints",
+    "WITH " + _DOCS2_SQL.strip() + """,
+_tokd AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+          FROM _docs2),
+_th AS (SELECT doc_id, """ + _H60.format("tok") + """ AS h FROM _tokd),
+_bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN (1::BIGINT << b) ELSE 0 END AS term
+  FROM _th, unnest(generate_series(0, 31)) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, cast(sum(term) AS BIGINT) AS simhash
+FROM _bits GROUP BY doc_id
+""",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (distinct-token, unweighted)."""
+    return DD.simhash(_docs2_spark(spark, sf_dir), bits=32)
+
+
+@register(
+    "ngram_jaccard_twins",
+    "WITH " + _DOCS2_SQL.strip() + f""",
+_tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM _docs2),
+_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM _tok)
+  WHERE i IS NOT NULL
+),
+_shs AS (SELECT doc_id, list(DISTINCT s) AS ss FROM _sh GROUP BY doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.ss, b.ss))::DOUBLE /
+             len(list_distinct(list_concat(a.ss, b.ss))), 6) AS jaccard
+FROM _shs a JOIN _shs b ON b.doc_id = a.doc_id + 10000
+""",
+)
+def ngram_jaccard_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram Jaccard between each doc and its mutated twin."""
+    docs2 = _docs2_spark(spark, sf_dir)
+    pairs = (
+        spark.read.parquet(_t(sf_dir, "documents"))
+        .select(
+            F.col("doc_id").alias("a"), (F.col("doc_id") + 10000).alias("b")
+        )
+    )
+    return DD.jaccard_pairs(docs2, pairs, n=3, threshold=0.0)
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                   6) AS cosine,
+             cast(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                  c.vec_id) AS INT) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 query vectors."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "token_stats",
+    """
+    SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+           cast(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + ~4-chars/token subword estimate)."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return TS.token_stats(d).select("doc_id", "n_tokens", "n_subwords")
+
+
+@register(
+    "quality_scores",
+    """
+    SELECT doc_id, n_toks, punct_ratio, stop_ratio, mean_word_len,
+           round(least(n_toks / 50.0, 1.0) * 0.4 +
+                 least(stop_ratio * 5, 1.0) * 0.3 +
+                 (1 - least(punct_ratio * 10, 1.0)) * 0.2 +
+                 least(mean_word_len / 8, 1.0) * 0.1, 6) AS quality
+    FROM (
+      SELECT doc_id, n_toks,
+             round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END, 6) AS punct_ratio,
+             round(CASE WHEN n_toks > 0 THEN n_stop::DOUBLE / n_toks ELSE 0 END, 6) AS stop_ratio,
+             round(CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1))::DOUBLE / n_toks ELSE 0 END, 6) AS mean_word_len
+      FROM (
+        SELECT doc_id, length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+               len(string_split_regex(lower(text), '\\s+')) AS n_toks,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
+        FROM documents))
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length/punct/stopword/word-length blend."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return TS.quality_score(d).select(
+        "doc_id", "n_toks", "punct_ratio", "stop_ratio", "mean_word_len", "quality"
+    )
+
+
+def _langid_oracle() -> str:
+    hits = []
+    for lang, words in sorted(TS.STOPWORDS.items()):
+        inlist = ",".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(w, x -> x IN ({inlist}))) AS h_{lang}"
+        )
+    cases = "\n             ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'"
+        for lang in sorted(TS.STOPWORDS, reverse=True)
+    )
+    return f"""
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+             {cases}
+           END AS lang_pred,
+           best AS lang_hits
+    FROM (
+      SELECT doc_id, greatest(h_de, h_en, h_es, h_fr) AS best, h_de, h_en, h_es, h_fr
+      FROM (SELECT doc_id, {', '.join(hits)}
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                  FROM documents)))
+    """
+
+
+@register("lang_id", _langid_oracle())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic (argmax, deterministic ties)."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return TS.lang_id(d).select("doc_id", "lang_pred", "lang_hits")
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, length(nt) AS norm_len,
+           (SELECT min({_H60.format("substr(nt, i, 4)")})
+            FROM unnest(generate_series(1, greatest(length(nt) - 3, 1))) AS t(i))
+             AS fingerprint
+    FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+          FROM documents)
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hash char-4-gram document fingerprint (rolling-hash family)."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return TS.fingerprint(d, k=4).select("doc_id", "norm_len", "fingerprint")
