@@ -67,7 +67,12 @@ def ecm_pivot(ecm_flat: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
-def ecm_vectors(ecm_flat: DataFrame, vocab: DataFrame, size: int) -> DataFrame:
+def ecm_vectors(
+    ecm_flat: DataFrame,
+    vocab: DataFrame,
+    size: int,
+    keys: tuple[str, ...] = ("sink_class", "bucket_start"),
+) -> DataFrame:
     """Dense count vectors via broadcast vocab join (J1: the reference's
     linear ``list.index`` scan, loglab.py:107-116, as a hash join).
 
@@ -76,10 +81,10 @@ def ecm_vectors(ecm_flat: DataFrame, vocab: DataFrame, size: int) -> DataFrame:
     idx = F.coalesce(F.col("vocab_idx"), F.lit(size - 1))
     per_idx = (
         ecm_flat.join(F.broadcast(vocab), "event_id", "left")
-        .groupBy("sink_class", "bucket_start", idx.alias("idx"))
+        .groupBy(*keys, idx.alias("idx"))
         .agg(F.sum("cnt").alias("c"))
     )
-    return per_idx.groupBy("sink_class", "bucket_start").agg(
+    return per_idx.groupBy(*keys).agg(
         F.aggregate(
             F.collect_list(F.struct("idx", "c")),
             F.expr(f"array_repeat(0L, {size})"),

@@ -971,3 +971,114 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hash char-4-gram document fingerprint (rolling-hash family)."""
     d = spark.read.parquet(_t(sf_dir, "documents"))
     return TS.fingerprint(d, k=4).select("doc_id", "norm_len", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Model scoring: vectorized numeric kernels over event-count vectors
+# ---------------------------------------------------------------------------
+
+from loganalyzer_spark import scoring as SC  # noqa: E402
+
+
+def _doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _routed(spark, sf_dir)
+    ecm = routed.groupBy("doc_id", "event_id").agg(F.count("*").alias("cnt"))
+    return A.ecm_vectors(
+        ecm, datagen.vocab_df(spark), datagen.VOCAB_SIZE, keys=("doc_id",)
+    )
+
+
+def _score_oracle() -> str:
+    from loganalyzer_spark.datagen import duckdb_vocab_values
+
+    w, b = SC.fixed_weights(datagen.VOCAB_SIZE)
+    wvals = ",\n      ".join(f"({i}, {x})" for i, x in enumerate(w))
+    return (
+        _pipe_cte()
+        + f""",
+_decm AS (SELECT doc_id, event_id, count(*) AS cnt FROM _routed GROUP BY 1, 2),
+_didx AS (
+  SELECT d.doc_id, coalesce(v.vocab_idx, 10) AS idx, sum(d.cnt) AS c
+  FROM _decm d LEFT JOIN {duckdb_vocab_values()} USING (event_id)
+  GROUP BY 1, 2
+),
+_dot AS (
+  SELECT i.doc_id, sum(i.c * w.wt) AS dot
+  FROM _didx i JOIN (VALUES
+      {wvals}
+    ) AS w(idx, wt) ON w.idx = i.idx
+  GROUP BY 1
+)
+SELECT doc_id, round(1 / (1 + exp(-(dot + ({b})))), 6) AS score,
+       CASE WHEN 1 / (1 + exp(-(dot + ({b})))) > 0.5 THEN 1 ELSE 0 END AS pred
+FROM _dot
+"""
+    )
+
+
+@register("logreg_score_jvm", _score_oracle())
+def logreg_score_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LR kernel as pure JVM column expressions (zip_with + aggregate)."""
+    w, b = SC.fixed_weights(datagen.VOCAB_SIZE)
+    vec = _doc_vectors(spark, sf_dir)
+    score = SC.logreg_score_expr("vec", w, b)
+    return vec.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score > 0.5).cast("int").alias("pred"),
+    )
+
+
+@register("logreg_score_arrow", _score_oracle())
+def logreg_score_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LR kernel through the scalar-iterator pandas UDF (Arrow
+    batches + broadcast weights — the north-star inference path).
+    Must equal both the JVM expression and the DuckDB oracle."""
+    import numpy as np
+
+    w, b = SC.fixed_weights(datagen.VOCAB_SIZE)
+    scorer = SC.make_logreg_scorer(spark, np.array(w), b)
+    vec = _doc_vectors(spark, sf_dir)
+    out = scorer(vec, "vec", "score_raw")
+    return out.select(
+        "doc_id",
+        F.round("score_raw", 6).alias("score"),
+        (F.col("score_raw") > 0.5).cast("int").alias("pred"),
+    )
+
+
+@register(
+    "dt_score",
+    _score_oracle().rsplit(",\n_dot AS", 1)[0]
+    + """
+SELECT doc_id,
+       CASE WHEN c6 > 0 THEN 0.95
+            WHEN c8 > 2 THEN 0.8
+            WHEN c0 > 10 THEN 0.2
+            ELSE 0.05 END AS score
+FROM (
+  SELECT g.doc_id,
+         coalesce(sum(CASE WHEN idx = 6 THEN c END), 0) AS c6,
+         coalesce(sum(CASE WHEN idx = 8 THEN c END), 0) AS c8,
+         coalesce(sum(CASE WHEN idx = 0 THEN c END), 0) AS c0
+  FROM (SELECT DISTINCT doc_id FROM _didx) g
+  LEFT JOIN _didx USING (doc_id)
+  GROUP BY 1)
+""",
+)
+def dt_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree scoring compiled to CASE WHEN column expressions."""
+    vec = _doc_vectors(spark, sf_dir)
+    return vec.select("doc_id", SC.dt_score_expr("vec").alias("score"))
+
+
+@register("logreg_train_score", None)  # driver-side training → rows-only check
+def logreg_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1/EP2 end-to-end: train LR on the driver from the collected
+    per-doc ECM (label = doc contains an 'abn: ' line), then score the
+    corpus with the broadcast-weights Arrow kernel."""
+    routed = _routed(spark, sf_dir)
+    labels = routed.groupBy("doc_id").agg(F.max("is_abn").alias("label"))
+    vec = _doc_vectors(spark, sf_dir).join(labels, "doc_id")
+    out = SC.train_and_score(spark, vec)
+    return out.select("doc_id", "label", F.round("score", 6).alias("score"), "pred")

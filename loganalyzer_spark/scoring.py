@@ -1,0 +1,140 @@
+"""Model scoring as a vectorized numeric kernel (north star: the
+reference's decision-tree / logistic-regression inference over
+event-count vectors, loglab.py:693-753, loglizer.py:493-557 — no
+per-row Python anywhere).
+
+Training runs driver-side on the collected ECM (bounded: samples ×
+vocab_size floats — the reference also trains in one process,
+loglab.py:677-679). The trained weights are broadcast; scoring runs
+inside Arrow batches via a scalar-iterator pandas UDF (the load-once-
+per-executor pattern the reference approximates with ONNX sessions,
+loglab.py:722-727).
+
+``dt_score_expr`` is the decision-tree path compiled to JVM-side
+``CASE WHEN`` column expressions — zero Python in that variant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def train_logreg(
+    X: np.ndarray, y: np.ndarray, iters: int = 200, lr: float = 0.1
+) -> tuple[np.ndarray, float]:
+    """Deterministic batch-gradient logistic regression (float64).
+
+    Standalone numpy (sklearn is not in the image); fixed iteration
+    count and zero init make the weights reproducible.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, d = X.shape
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g) / n
+        b -= lr * float(g.mean())
+    return w, b
+
+
+def make_logreg_scorer(spark: SparkSession, w: np.ndarray, b: float):
+    """Arrow-batch LR scorer: mapInPandas with broadcast weights.
+
+    The (weights, bias) tuple is broadcast once; each task unpacks it a
+    single time, then scores whole Arrow batches with one matrix
+    multiply. mapInPandas (rather than a column pandas UDF) gives the
+    kernel its own plan node, so it composes with any upstream
+    aggregate without codegen nesting limits.
+
+    Returns ``apply(df, vec_col, out_col) -> DataFrame``.
+    """
+    bc = spark.sparkContext.broadcast((np.asarray(w, dtype=np.float64), float(b)))
+
+    def apply(df: DataFrame, vec_col: str = "vec", out_col: str = "score_raw") -> DataFrame:
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+        )
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wts, bias = bc.value
+            for pdf in batches:
+                if len(pdf):
+                    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    pdf[out_col] = 1.0 / (1.0 + np.exp(-(X @ wts + bias)))
+                else:
+                    pdf[out_col] = np.zeros(0)
+                yield pdf
+
+        return df.mapInPandas(fn, schema)
+
+    return apply
+
+
+def train_and_score(
+    spark: SparkSession,
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "vec",
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """Collect the (small) ECM, train LR on the driver, score the full
+    DataFrame distributed. Adds ``score`` and ``pred`` columns."""
+    train = vectors.select(vec_col, label_col).limit(max_train_rows).toPandas()
+    X = np.vstack(train[vec_col].to_numpy())
+    y = train[label_col].to_numpy()
+    w, b = train_logreg(X, y)
+    scorer = make_logreg_scorer(spark, w, b)
+    out = scorer(vectors, vec_col, "score")
+    return out.withColumn("pred", (F.col("score") > 0.5).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-weight kernels (deterministic, DuckDB-oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def fixed_weights(size: int) -> tuple[list[float], float]:
+    """Deterministic LR weights for the oracle-checked scoring query."""
+    w = [round(0.3 - 0.05 * i, 6) for i in range(size)]
+    return w, -0.5
+
+
+def logreg_score_expr(vec_col: str, w: list[float], b: float) -> F.Column:
+    """JVM-side sigmoid(w·x + b) over an array column — the pure-SQL
+    expression of the same kernel (used for oracle parity and as the
+    no-Python fast path)."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.array(*[F.lit(x) for x in w]),
+            lambda v, wi: v * wi,
+        ),
+        F.lit(float(b)),
+        lambda acc, v: acc + v,
+    )
+    return 1 / (1 + F.exp(-dot))
+
+
+def dt_score_expr(vec_col: str) -> F.Column:
+    """A small fixed decision tree over count-vector slots compiled to
+    CASE WHEN (the generated-predicate pattern used for the KB's
+    param-dependent rules, extensions/cm/knowledgebase.py:61-311).
+
+    node split order: x[6] (tls errors) → x[8] (file-missing) → x[0].
+    """
+    x = lambda i: F.element_at(F.col(vec_col), i + 1).cast("double")  # noqa: E731
+    return (
+        F.when(x(6) > 0, F.lit(0.95))
+        .when(x(8) > 2, F.lit(0.8))
+        .when(x(0) > 10, F.lit(0.2))
+        .otherwise(F.lit(0.05))
+    )
