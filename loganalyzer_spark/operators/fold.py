@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 NESTED = "^[ \t]"  # PTN_NESTED_LINE.match — leading blank ⇒ continuation
 
 
+def _lstrip(c) -> F.Column:
+    # Python str.lstrip() strips all whitespace; Spark ltrim only spaces.
+    return F.regexp_replace(c, "^[ \t\r\n]+", "")
+
+
+def _rstrip(c) -> F.Column:
+    return F.regexp_replace(c, "[ \t\r\n]+$", "")
+
+
 def fold_lines(
     lines: DataFrame,
     raw: str = "raw",
@@ -56,8 +65,8 @@ def fold_lines(
                 ", ",
                 F.transform(
                     "_parts",
-                    lambda p, i: F.when(i == 0, F.rtrim(p["r"])).otherwise(
-                        F.ltrim(F.rtrim(p["r"]))
+                    lambda p, i: F.when(i == 0, _rstrip(p["r"])).otherwise(
+                        _lstrip(_rstrip(p["r"]))
                     ),
                 ),
             ),
@@ -82,7 +91,9 @@ def fold_text_array(col) -> F.Column:
                 F.slice(acc, 1, F.size(acc) - 1),
                 F.array(
                     F.concat(
-                        F.rtrim(F.element_at(acc, -1)), F.lit(", "), F.ltrim(F.rtrim(x))
+                        _rstrip(F.element_at(acc, -1)),
+                        F.lit(", "),
+                        _lstrip(_rstrip(x)),
                     )
                 ),
             ),

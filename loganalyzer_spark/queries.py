@@ -455,8 +455,8 @@ def _nested_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _NESTED_DERIVE
     + """
     SELECT doc_id, fold_grp, min(line_no) AS line_no,
-           string_agg(CASE WHEN prim = 1 THEN rtrim(raw2)
-                           ELSE ltrim(rtrim(raw2)) END,
+           string_agg(CASE WHEN prim = 1 THEN rtrim(raw2, ' ' || chr(9))
+                           ELSE ltrim(rtrim(raw2, ' ' || chr(9)), ' ' || chr(9)) END,
                       ', ' ORDER BY line_no) AS folded
     FROM _fg GROUP BY doc_id, fold_grp
     """,
@@ -479,8 +479,8 @@ def nested_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _NESTED_DERIVE
     + """
     SELECT doc_id, fold_grp,
-           string_agg(CASE WHEN prim = 1 THEN rtrim(raw2)
-                           ELSE ltrim(rtrim(raw2)) END,
+           string_agg(CASE WHEN prim = 1 THEN rtrim(raw2, ' ' || chr(9))
+                           ELSE ltrim(rtrim(raw2, ' ' || chr(9)), ' ' || chr(9)) END,
                       ', ' ORDER BY line_no) AS folded
     FROM _fg GROUP BY doc_id, fold_grp
     """,

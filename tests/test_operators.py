@@ -1,0 +1,193 @@
+"""Operator-level unit tests: match tie-breaks, wildcard templates,
+fold edge cases, dedup primitives, multimodal plumbing, scoring kernel.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _templates(spark, rows):
+    from loganalyzer_spark.datagen import TEMPLATE_SCHEMA, event_id_of, template_regex
+
+    full = []
+    for tmpl in rows:
+        toks = tmpl.split(" ")
+        full.append(
+            (
+                event_id_of(tmpl),
+                tmpl,
+                len(toks),
+                toks[0],
+                toks[1] if len(toks) > 1 else "",
+                sum(1 for t in toks if t == "<*>"),
+                template_regex(tmpl),
+            )
+        )
+    return spark.createDataFrame(full, TEMPLATE_SCHEMA)
+
+
+def test_match_prefers_more_params_on_tie(spark):
+    """fast_match tie-break: max sim then max para (drain.py:494-505).
+    Both candidates fully match ⇒ the one with more <*> wins."""
+    from loganalyzer_spark.datagen import event_id_of
+    from loganalyzer_spark.operators.match import match_templates
+
+    tmpl = _templates(spark, ["Cmd: GET <*>", "Cmd: <*> <*>"])
+    lines = spark.createDataFrame([("Cmd: GET thing",)], "masked string")
+    out = match_templates(lines, tmpl).collect()[0]
+    assert out["event_id"] == event_id_of("Cmd: <*> <*>")
+    assert out["is_new"] == 0
+
+
+def test_match_wildcard_first_token(spark):
+    """token_tree_search's '<*>' fallback layer (drain.py:268-284)."""
+    from loganalyzer_spark.datagen import event_id_of
+    from loganalyzer_spark.operators.match import match_templates
+
+    tmpl = _templates(spark, ["<*> failed hard"])
+    lines = spark.createDataFrame(
+        [("anything failed hard",), ("nothing matches this",)], "masked string"
+    )
+    out = {r["masked"]: r for r in match_templates(lines, tmpl).collect()}
+    assert out["anything failed hard"]["event_id"] == event_id_of("<*> failed hard")
+    assert out["nothing matches this"]["is_new"] == 1
+
+
+def test_match_unmatched_gets_md5_id(spark):
+    from loganalyzer_spark.operators.match import match_templates
+    import hashlib
+
+    tmpl = _templates(spark, ["Known: template here"])
+    lines = spark.createDataFrame([("Unknown: stuff",)], "masked string")
+    out = match_templates(lines, tmpl).collect()[0]
+    assert out["event_id"] == hashlib.md5(b"Unknown: stuff").hexdigest()[:8]
+    assert out["event_template"] == "Unknown: stuff"
+
+
+def test_fold_array_semantics(spark):
+    """Fold mirrors preprocess_norm (preprocess_base.py:410-499):
+    rstrip accumulated + ', ' + lstrip continuation."""
+    from loganalyzer_spark.operators.fold import fold_text_array
+
+    df = spark.createDataFrame(
+        [("a\n  b\n\tc\nd\n  e",)], "text string"
+    ).select(fold_text_array(F.split("text", "\n")).alias("r"))
+    assert df.collect()[0]["r"] == ["a, b, c", "d, e"]
+
+
+def test_fold_first_line_nested(spark):
+    """A leading continuation with no primary keeps its own group."""
+    from loganalyzer_spark.operators.fold import fold_text_array
+
+    df = spark.createDataFrame([("  orphan\nx",)], "text string").select(
+        fold_text_array(F.split("text", "\n")).alias("r")
+    )
+    assert df.collect()[0]["r"] == ["  orphan", "x"]
+
+
+def test_minhash_similarity_monotone(spark):
+    """Identical docs share full signatures; disjoint docs share ~none."""
+    from loganalyzer_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    same = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert same <= 4
+
+
+def test_simhash_close_for_near_dups(spark):
+    from loganalyzer_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different words appear in this sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_cosine_topk_exact(spark):
+    from loganalyzer_spark.operators.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(vecs, vecs.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["cosine"] > 0.99
+
+
+def test_lsh_ann_finds_identical(spark):
+    from loganalyzer_spark.operators.similarity import cosine_topk_lsh
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(20)]
+    rows.append((100, rows[0][1]))  # exact twin of vec 0
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk_lsh(
+        vecs, vecs.filter("vec_id = 0"), k=3, nbits=4, dim=8
+    ).collect()
+    # the exact twin must land in the same LSH bucket and score 1.0
+    twins = [r for r in out if r["neighbor_id"] == 100]
+    assert twins and twins[0]["cosine"] > 0.999999
+
+
+def test_multimodal_decode_stub(spark):
+    from loganalyzer_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc"), (10, 20, 0, "stub")),
+         (2, "video", bytearray(b"defg"), (100, 50, 5000, "stub"))],
+        MM.MEDIA_SCHEMA,
+    )
+    feats = MM.decode_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[1]["features"]) == MM.FEATURE_DIM
+    assert by_id[2]["n_bytes"] == 4
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r["features"])
+    with pytest.raises(NotImplementedError):
+        MM.decode_features(media, fake=False)
+
+    frames = MM.frame_sample(media, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000, 4000]
+
+    rs = {r["media_id"]: r for r in MM.resize_meta(media, 64).collect()}
+    assert rs[2]["target_w"] == 64 and rs[2]["target_h"] == 32
+
+
+def test_logreg_training_learns(spark):
+    import numpy as np
+
+    from loganalyzer_spark.scoring import train_logreg
+
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(400, 3))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    w, b = train_logreg(X, y, iters=500, lr=0.5)
+    p = 1 / (1 + np.exp(-(X @ w + b)))
+    acc = ((p > 0.5) == y).mean()
+    assert acc > 0.9
+    # determinism
+    w2, b2 = train_logreg(X, y, iters=500, lr=0.5)
+    assert np.allclose(w, w2) and math.isclose(b, b2)

@@ -1,0 +1,121 @@
+"""Pipeline invariants: routed-row totality, sink-count conservation,
+fan-out write equality, checkpoint/resume, streaming parity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def routed(spark):
+    from loganalyzer_spark import datagen, pipeline
+
+    lines = datagen.raw_lines(spark, SF_SMALL)
+    return pipeline.routed_lines(spark, lines).cache()
+
+
+def test_every_row_routed_exactly_once(spark, routed):
+    from loganalyzer_spark import datagen
+
+    n_lines = datagen.raw_lines(spark, SF_SMALL).count()
+    assert routed.count() == n_lines
+    assert routed.filter(F.col("sink_class").isNull()).count() == 0
+    classes = {r["sink_class"] for r in routed.select("sink_class").distinct().collect()}
+    assert classes <= {"c001", "c002", "c003", "normal"}
+
+
+def test_sink_ecm_conserves_rows(spark, routed):
+    from loganalyzer_spark import pipeline
+
+    agg = pipeline.sink_aggregates(routed, "1 minute")
+    total = agg.agg(F.sum("cnt")).collect()[0][0]
+    assert total == routed.count()
+
+
+def test_known_template_ids_match_reference_library(routed):
+    """Template ids are md5(template)[:8] (drain.py:732) — our generator
+    shares templates with the reference's ftp library, so the ids must
+    match the shipped template_lib.csv."""
+    ids = {r["event_id"] for r in routed.select("event_id").distinct().collect()}
+    # From /root/reference/data/persist/ftp/template_lib.csv:
+    assert "0d9f7273" in ids  # Command: RETR <*>
+    assert "62583947" in ids  # Command: STOR <*>
+    assert "7c5ceaea" in ids  # Trace: Connecting to <*> port <*>
+
+
+def test_fanout_write_roundtrip(spark, routed, tmp_path):
+    from loganalyzer_spark.operators import enrich
+
+    out = str(tmp_path / "sinks")
+    enrich.write_sinks(routed.select("doc_id", "line_no", "event_id", "sink_class"), out)
+    back = spark.read.parquet(out)
+    assert back.count() == routed.count()
+    # partition pruning works: reading one sink dir only returns that class
+    one = spark.read.parquet(out).filter(F.col("sink_class") == "c001")
+    assert one.count() == routed.filter("sink_class = 'c001'").count()
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from loganalyzer_spark import datagen
+    from loganalyzer_spark.lineage import CheckpointedJob
+
+    root = str(tmp_path / "ckpt")
+    job = CheckpointedJob(spark, root)
+    calls = {"n": 0}
+
+    def stage_fn():
+        calls["n"] += 1
+        return datagen.raw_lines(spark, SF_SMALL).select("doc_id", "line_no", "raw")
+
+    a = job.stage("parse", stage_fn)
+    n1 = a.count()
+    m = job.read_metrics("parse")
+    assert m["rows"] == n1 and m["n_files"] >= 1
+
+    # restart: same stage skips recompute, identical rows
+    job2 = CheckpointedJob(spark, root)
+    b = job2.stage("parse", stage_fn)
+    assert calls["n"] == 1  # fn not re-invoked
+    assert b.count() == n1
+
+
+def test_resumable_sink_writes(spark, routed, tmp_path):
+    from loganalyzer_spark.lineage import write_sinks_resumable
+
+    out = str(tmp_path / "rsinks")
+    small = routed.select("doc_id", "line_no", "sink_class").cache()
+    first = write_sinks_resumable(small, out)
+    assert not any(first.values())
+    second = write_sinks_resumable(small, out)
+    assert all(second.values())  # every sink skipped on resume
+    total = sum(
+        spark.read.parquet(os.path.join(out, f"sink_class={c}")).count()
+        for c in first
+    )
+    assert total == small.count()
+
+
+def test_streaming_matches_batch(spark, routed, tmp_path):
+    from loganalyzer_spark import datagen, pipeline
+    from loganalyzer_spark.streaming.stream_ecm import (
+        run_to_memory,
+        streaming_sink_ecm,
+    )
+
+    src = str(tmp_path / "stream_src")
+    lines = datagen.raw_lines(spark, SF_SMALL)
+    lines.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    agg = streaming_sink_ecm(spark, src, schema, bucket="1 minute")
+    name = run_to_memory(agg)
+    stream_out = spark.sql(f"SELECT * FROM {name}")
+
+    batch_out = pipeline.sink_aggregates(routed, "1 minute")
+    assert stream_out.count() == batch_out.count()
+    assert stream_out.exceptAll(batch_out).count() == 0
