@@ -1,0 +1,60 @@
+"""spark-submit entry point: parse→match→enrich→route→aggregate over a
+parquet corpus of raw lines.
+
+    spark-submit --master local[N] --py-files dist/loganalyzer_spark.zip \
+        jobs/run_pipeline.py <corpus_parquet_dir> [out_json]
+
+Prints a JSON line with rows, docs, wall seconds and docs/sec. The
+package is resolved from --py-files (cluster mode) or the repo root
+(direct invocation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    corpus = sys.argv[1]
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+
+    spark = SparkSession.builder.appName("loganalyzer_pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from loganalyzer_spark import pipeline
+
+    lines = spark.read.parquet(corpus)
+    t0 = time.time()
+    routed = pipeline.routed_lines(spark, lines)
+    agg = pipeline.sink_aggregates(routed, "1 minute")
+    groups = agg.count()
+    wall = time.time() - t0
+    n_docs = lines.agg(F.countDistinct("doc_id")).collect()[0][0]
+    n_rows = lines.count()
+
+    result = {
+        "rows": n_rows,
+        "docs": n_docs,
+        "agg_groups": groups,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }
+    print("RESULT " + json.dumps(result))
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(result, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

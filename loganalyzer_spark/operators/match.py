@@ -113,3 +113,162 @@ def extract_params(df: DataFrame, masked: str = "masked") -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
+
+
+# ---------------------------------------------------------------------------
+# General similarity matcher (D2/D3): the reference's seq_dist semantics
+# ---------------------------------------------------------------------------
+
+import re  # noqa: E402
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from loganalyzer_spark.patterns import PTN_SPEC_TOKEN  # noqa: E402
+
+
+def seq_dist(tmplt: list[str], log: list[str],
+             spec=PTN_SPEC_TOKEN) -> tuple[float, int]:
+    """Token-wise similarity, faithful to drain.py:367-472:
+
+    - first-token mismatch ⇒ reject;
+    - '<*>' in the template counts as a parameter slot (skipped in the
+      denominator) unless it follows a mismatch;
+    - two successive mismatches ⇒ reject;
+    - special tokens (ftp/patterns.py:128-136) must agree exactly;
+    - sim = matches / (len - para); all-param case per drain.py:458-462.
+    """
+    sim_tokens = 0
+    para_num = 0
+    stop = False
+    last_same = True
+    last_para = False
+    first = True
+    for t1, t2 in zip(tmplt, log):
+        if first:
+            first = False
+            if t1 != t2 and t1 != "<*>":
+                # note: reference rejects on first-token inequality even
+                # vs '<*>' only when tokens differ (drain.py:395-399);
+                # '<*>' == '<*>' passes, literal-vs-'<*>' template first
+                # token is handled by the wildcard tree layer.
+                if t1 != "<*>":
+                    stop = True
+                    break
+        if t1 == "<*>":
+            if last_same or last_para:
+                para_num += 1
+                last_same = t2 == "<*>"
+                last_para = True
+                continue
+            stop = True
+            break
+        if t1 == t2:
+            sim_tokens += 1
+            last_same = True
+            last_para = False
+        elif last_same:
+            last_same = False
+            last_para = False
+        else:
+            stop = True
+            break
+        for ptn in spec:
+            m1, m2 = ptn.fullmatch(t1), ptn.fullmatch(t2)
+            if (m1 and m2 and t1 != t2) or (m1 and not m2) or (m2 and not m1):
+                stop = True
+                break
+        if stop:
+            break
+    const_num = len(tmplt) - para_num
+    if const_num == 0:
+        sim = 1.0 if len(tmplt) == 1 and any(c.isdigit() for c in log[0]) else 0.0
+    else:
+        sim = float(sim_tokens) / const_num
+    if stop:
+        return 0.0, 0
+    return sim, para_num
+
+
+def _sim_threshold(tokens: list[str]) -> float:
+    """Per-template initial threshold: 0.6 * (len - para) / len
+    (drain.py:577-592, frozen-library form — no online evolution)."""
+    para = sum(1 for t in tokens if t == "<*>")
+    n = len(tokens)
+    return 0.6 * (n - para) / n if n else 1.0
+
+
+def match_similarity(
+    lines: DataFrame, templates: DataFrame, masked: str = "masked"
+) -> DataFrame:
+    """Drain matching with full seq_dist semantics as a vectorized
+    pandas UDF over Arrow batches (SURVEY §2.12.2 ``best_template``).
+
+    The template library is broadcast once as {token_count:
+    [(tokens, sim_t, para, event_id, template)]}; each batch loops only
+    over the few length-matched candidates per line (the D1 tree's
+    length layer). fast_match tie-break: max sim, then max para
+    (drain.py:494-505); accept iff sim >= sim_t (D3 threshold).
+    """
+    spark = lines.sparkSession
+    lib: dict[int, list] = {}
+    for r in templates.select("event_id", "event_template").collect():
+        toks = r["event_template"].split(" ")
+        lib.setdefault(len(toks), []).append(
+            (
+                toks,
+                _sim_threshold(toks),
+                sum(1 for t in toks if t == "<*>"),
+                r["event_id"],
+                r["event_template"],
+            )
+        )
+    bc = spark.sparkContext.broadcast(lib)
+
+    out_type = T.StructType(
+        [
+            T.StructField("event_id", T.StringType()),
+            T.StructField("event_template", T.StringType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def best(masked_s: pd.Series) -> pd.DataFrame:
+        library = bc.value
+        ids, tms, sims = [], [], []
+        for line in masked_s:
+            toks = line.split(" ")
+            best_sim, best_para, best_hit = -1.0, -1, None
+            for cand_toks, sim_t, para, eid, tmpl in library.get(len(toks), []):
+                s, p = seq_dist(cand_toks, toks)
+                if s > best_sim or (s == best_sim and p > best_para):
+                    best_sim, best_para = s, p
+                    best_hit = (eid, tmpl, sim_t)
+            if best_hit is not None and best_sim >= best_hit[2]:
+                ids.append(best_hit[0])
+                tms.append(best_hit[1])
+                sims.append(best_sim)
+            else:
+                ids.append(None)
+                tms.append(None)
+                sims.append(0.0)
+        return pd.DataFrame({"event_id": ids, "event_template": tms, "sim": sims})
+
+    hit = best(F.col(masked))
+    return (
+        lines.withColumn("_hit", hit)
+        .withColumn("is_new", F.col("_hit.event_id").isNull().cast("int"))
+        .withColumn(
+            "event_id",
+            F.coalesce(
+                F.col("_hit.event_id"), F.substring(F.md5(F.col(masked)), 1, 8)
+            ),
+        )
+        .withColumn(
+            "event_template",
+            F.coalesce(F.col("_hit.event_template"), F.col(masked)),
+        )
+        .withColumn("match_sim", F.col("_hit.sim"))
+        .drop("_hit")
+    )

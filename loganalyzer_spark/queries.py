@@ -1082,3 +1082,18 @@ def logreg_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _doc_vectors(spark, sf_dir).join(labels, "doc_id")
     out = SC.train_and_score(spark, vec)
     return out.select("doc_id", "label", F.round("score", 6).alias("score"), "pred")
+
+
+@register(
+    "similarity_match",
+    _pipe_cte() + "SELECT doc_id, line_no, event_id, cast(is_new AS int) AS is_new FROM _matched",
+)
+def similarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3: the general seq_dist similarity matcher (pandas UDF with
+    the reference's token-walk semantics) must assign the same events
+    as the regex-candidate fast path / DuckDB oracle."""
+    lines = P.mask(P.wash(datagen.raw_lines(spark, sf_dir)))
+    out = M.match_similarity(lines, datagen.templates_df(spark))
+    return out.select(
+        "doc_id", "line_no", "event_id", F.col("is_new").cast("int").alias("is_new")
+    )

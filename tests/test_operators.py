@@ -191,3 +191,44 @@ def test_logreg_training_learns(spark):
     # determinism
     w2, b2 = train_logreg(X, y, iters=500, lr=0.5)
     assert np.allclose(w, w2) and math.isclose(b, b2)
+
+
+def test_seq_dist_reference_semantics():
+    """Hand-checked cases against drain.py:367-472 behavior."""
+    from loganalyzer_spark.operators.match import seq_dist
+
+    # plain param match
+    assert seq_dist(["a", "<*>"], ["a", "x"]) == (1.0, 1)
+    # first-token mismatch → reject
+    assert seq_dist(["a", "b"], ["z", "b"]) == (0.0, 0)
+    # two successive mismatches → reject
+    assert seq_dist(["a", "b", "c", "d"], ["a", "x", "y", "d"]) == (0.0, 0)
+    # single mismatch tolerated (not counted as sim)
+    s, p = seq_dist(["a", "b", "c"], ["a", "x", "c"])
+    assert (s, p) == (2 / 3, 0)
+    # param after mismatch → reject (no '...<*> <*>...' generation)
+    assert seq_dist(["a", "b", "<*>"], ["a", "x", "y"]) == (0.0, 0)
+    # '<*>' vs '<*>' keeps last_same=True
+    assert seq_dist(["a", "<*>", "<*>"], ["a", "<*>", "y"]) == (1.0, 2)
+    # special tokens must agree exactly: 'Foo::' vs 'Bar::'
+    assert seq_dist(["x", "Foo::"], ["x", "Bar::"]) == (0.0, 0)
+    # special-vs-plain token → reject
+    assert seq_dist(["x", "call()"], ["x", "call"]) == (0.0, 0)
+    # all-param template, single token with digits → sim 1
+    assert seq_dist(["<*>"], ["123"]) == (1.0, 1)
+    assert seq_dist(["<*>"], ["abc"]) == (0.0, 1)
+
+
+def test_similarity_matcher_agrees_with_fast_path(spark):
+    from tests.conftest import SF_SMALL
+
+    from loganalyzer_spark import datagen
+    from loganalyzer_spark.operators import match as M
+    from loganalyzer_spark.operators import parse as P
+
+    lines = P.mask(P.wash(datagen.raw_lines(spark, SF_SMALL))).cache()
+    tmpl = datagen.templates_df(spark)
+    fast = M.match_templates(lines, tmpl).select("doc_id", "line_no", "event_id")
+    slow = M.match_similarity(lines, tmpl).select("doc_id", "line_no", "event_id")
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
