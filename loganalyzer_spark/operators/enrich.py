@@ -56,3 +56,65 @@ def write_sinks(
         .partitionBy("sink_class")
         .parquet(out_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# J2: param-dependent KB rules + stateful context rule
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+# event ids the rules key on (computed like drain.py:732)
+import hashlib as _hashlib  # noqa: E402
+
+_RETR_ID = _hashlib.md5(b"Command: RETR <*>").hexdigest()[:8]
+_CONN_ID = _hashlib.md5(b"Trace: Connecting to <*> port <*>").hexdigest()[:8]
+_TLS_ID = _hashlib.md5(b"Error: GnuTLS error <*> in gnutls_record_recv").hexdigest()[:8]
+_DISC_ID = _hashlib.md5(b"Status: Disconnected from server").hexdigest()[:8]
+
+
+def apply_param_rules(lines: DataFrame) -> DataFrame:
+    """The KB's ~12 param-dependent rules re-expressed as generated
+    ``when()`` predicates over the extracted ``params`` array
+    (extensions/ftp/knowledgebase.py:62-83 switches on int(params[0])
+    etc.), plus the one rule that is stateful across rows
+    (context_store, extensions/cm/knowledgebase.py:25,299-305): a
+    disconnect after an earlier TLS fatal in the same document
+    escalates to 'error' — expressed as max-flag-so-far over a window,
+    exactly SURVEY §2.5 J2's disposition.
+
+    Input needs: event_id, params, severity, doc_id, line_no.
+    Output: severity_kb column (refined severity).
+    """
+    p1 = F.element_at("params", 1)
+    p2 = F.element_at("params", 2)
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    had_fatal = F.coalesce(
+        F.max((F.col("event_id") == _TLS_ID).cast("int")).over(w_prev), F.lit(0)
+    )
+
+    refined = (
+        # rule: RETR of a *0.dat file is a notable checkpoint fetch
+        F.when(
+            (F.col("event_id") == _RETR_ID) & p1.rlike("0\\.dat$"),
+            F.lit("notice"),
+        )
+        # rule: connects to an odd port are suspicious
+        .when(
+            (F.col("event_id") == _CONN_ID)
+            & (p2.cast("long") % 2 == 1),
+            F.lit("warning"),
+        )
+        # stateful rule: disconnect following a TLS fatal in-document
+        .when(
+            (F.col("event_id") == _DISC_ID) & (had_fatal == 1),
+            F.lit("error"),
+        )
+        .otherwise(F.col("severity"))
+    )
+    return lines.withColumn("severity_kb", refined)

@@ -1097,3 +1097,200 @@ def similarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "line_no", "event_id", F.col("is_new").cast("int").alias("is_new")
     )
+
+
+# ---------------------------------------------------------------------------
+# M3 blocks, J2 param rules, A7 normalization, A11 anomaly windows,
+# T1 per-row top-k, M7 timestamp renumbering
+# ---------------------------------------------------------------------------
+
+from loganalyzer_spark.operators import blocks as B  # noqa: E402
+from loganalyzer_spark.operators import enrich as E  # noqa: E402
+
+_BLOCK_START = "^Status: Disconnected from server$"
+_BLOCK_END = "^Response: 230 Login successful$"
+
+
+@register(
+    "block_removal",
+    _lines_cte()
+    + f"""
+    SELECT doc_id, line_no, content FROM (
+      SELECT doc_id, line_no, content,
+             coalesce(last(marker IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY line_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS state_prev,
+             is_start
+      FROM (SELECT doc_id, line_no, content,
+                   CASE WHEN regexp_matches(content, '{_BLOCK_START}') THEN 1
+                        WHEN regexp_matches(content, '{_BLOCK_END}') THEN 0
+                   END AS marker,
+                   CASE WHEN regexp_matches(content, '{_BLOCK_START}') THEN 1
+                        ELSE 0 END AS is_start
+            FROM _lines))
+    WHERE NOT (state_prev = 1 OR (state_prev = 0 AND is_start = 1))
+    """,
+)
+def block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: block-remove state machine as last(marker) window logic."""
+    lines = datagen.raw_lines(spark, sf_dir)
+    out = B.remove_blocks(lines, _BLOCK_START, _BLOCK_END)
+    return out.select("doc_id", "line_no", "content")
+
+
+@register(
+    "kb_param_routing",
+    _pipe_cte()
+    + """,
+_params AS (
+  SELECT r.*,
+         list_filter(string_split(masked, ' '),
+                     (x, i) -> string_split(event_template, ' ')[i] = '<*>')
+           AS params
+  FROM _routed r
+  WHERE len(string_split(event_template, ' ')) = len(string_split(masked, ' '))
+),
+_ctx AS (
+  SELECT p.*,
+         coalesce(max(CASE WHEN event_id = '95ea4803' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY line_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS had_fatal
+  FROM _params p
+)
+SELECT doc_id, line_no,
+       CASE WHEN event_id = '0d9f7273' AND regexp_matches(params[1], '0\\.dat$')
+                 THEN 'notice'
+            WHEN event_id = '7c5ceaea' AND try_cast(params[2] AS BIGINT) % 2 = 1
+                 THEN 'warning'
+            WHEN event_id = 'e4b18107' AND had_fatal = 1 THEN 'error'
+            ELSE severity END AS severity_kb
+FROM _ctx
+""",
+)
+def kb_param_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: generated when() predicates over extracted params + the
+    stateful context rule (window max-flag-so-far)."""
+    routed = M.extract_params(_routed(spark, sf_dir))
+    routed = routed.filter(
+        F.size(F.split("event_template", " ")) == F.size(F.split("masked", " "))
+    )
+    out = E.apply_param_rules(routed)
+    return out.select("doc_id", "line_no", "severity_kb")
+
+
+@register(
+    "normalized_counts",
+    _ecm_cte()
+    + """
+    SELECT sink_class, bucket_start, event_id,
+           round(cnt - avg(cnt) OVER (PARTITION BY event_id), 6) AS centered,
+           round(1 / (1 + exp(-(cnt - avg(cnt) OVER (PARTITION BY event_id)))), 6)
+             AS sigmoid
+    FROM _ecm
+    """,
+)
+def normalized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: zero-mean per feature + expit sigmoid (loglizer.py:329-383)."""
+    ecm = A.sink_ecm(_routed(spark, sf_dir), "1 minute")
+    w = Window.partitionBy("event_id")
+    centered = F.col("cnt") - F.avg("cnt").over(w)
+    return ecm.select(
+        "sink_class", "bucket_start", "event_id",
+        F.round(centered, 6).alias("centered"),
+        F.round(1 / (1 + F.exp(-centered)), 6).alias("sigmoid"),
+    )
+
+
+@register(
+    "anomaly_windows",
+    _ecm_cte()
+    + """
+    SELECT bucket_start, bucket_start + INTERVAL 1 MINUTE AS bucket_end,
+           cast(n AS BIGINT) AS n_anomalies
+    FROM (SELECT bucket_start, sum(cnt) AS n FROM _ecm
+          WHERE sink_class = 'c001' GROUP BY 1)
+    WHERE n > 30
+    """,
+)
+def anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: predicted anomaly windows mapped back to timestamp ranges
+    (loglizer.py:538-557)."""
+    ecm = A.sink_ecm(_routed(spark, sf_dir), "1 minute")
+    return (
+        ecm.filter(F.col("sink_class") == "c001")
+        .groupBy("bucket_start")
+        .agg(F.sum("cnt").alias("n_anomalies"))
+        .filter(F.col("n_anomalies") > 30)
+        .select(
+            "bucket_start",
+            (F.col("bucket_start") + F.expr("INTERVAL 1 MINUTE")).alias("bucket_end"),
+            "n_anomalies",
+        )
+    )
+
+
+@register(
+    "topk_counts_per_bucket",
+    _ecm_cte()
+    + """
+    SELECT sink_class, bucket_start,
+           array_to_string(
+             (list(event_id || ':' || cast(cnt AS varchar)
+                   ORDER BY cnt DESC, event_id DESC))[1:3], '|') AS top3
+    FROM _ecm GROUP BY 1, 2
+    """,
+)
+def topk_counts_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: per-row top-k via slice(sort_array desc) — no shuffle beyond
+    the grouping (loglab.py:741-744's top-k class probabilities)."""
+    ecm = A.sink_ecm(_routed(spark, sf_dir), "1 minute")
+    return ecm.groupBy("sink_class", "bucket_start").agg(
+        F.array_join(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "cnt", "event_id",
+                                F.concat_ws(":", "event_id", "cnt").alias("s"),
+                            )
+                        )
+                    )
+                ),
+                1, 3,
+            ).getField("s"),
+            "|",
+        ).alias("top3")
+    )
+
+
+@register(
+    "renumber_timestamps",
+    _lines_cte()
+    + """
+    SELECT doc_id, line_no,
+           TIMESTAMP '2022-06-22 14:00:00'
+             + to_milliseconds(100 * (row_number() OVER (
+                 PARTITION BY doc_id ORDER BY line_no) - 1)) AS std_ts
+    FROM _lines
+    """,
+)
+def renumber_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: rewrite arbitrary timestamps to standard +100 ms stepping
+    (misc_tools.py:74-100)."""
+    lines = datagen.raw_lines(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    return lines.select(
+        "doc_id", "line_no",
+        F.expr(
+            "timestamp_micros(1655906400000000)"
+        ).alias("_base"),
+    ).withColumn(
+        "std_ts",
+        F.timestamp_micros(
+            F.lit(1655906400000000)
+            + (F.row_number().over(w) - 1).cast("long") * 100000
+        ),
+    ).select("doc_id", "line_no", "std_ts")
