@@ -30,14 +30,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from loganalyzer_spark import pipeline
+    from loganalyzer_spark.operators import parse
 
-    lines = spark.read.parquet(corpus)
+    src = spark.read.parquet(corpus)
+    pages_shaped = "text" in src.columns
     t0 = time.time()
+    lines = parse.pages_to_lines(src) if pages_shaped else src
     routed = pipeline.routed_lines(spark, lines)
     agg = pipeline.sink_aggregates(routed, "1 minute")
     groups = agg.count()
     wall = time.time() - t0
-    n_docs = lines.agg(F.countDistinct("doc_id")).collect()[0][0]
+    n_docs = src.count() if pages_shaped else (
+        src.agg(F.countDistinct("doc_id")).collect()[0][0]
+    )
     n_rows = lines.count()
 
     result = {

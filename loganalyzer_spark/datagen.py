@@ -294,6 +294,28 @@ def web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gen_web_pages(
+    spark: SparkSession, n_docs: int, partitions: int | None = None
+) -> DataFrame:
+    """Standalone large-scale input_hint-shaped corpus
+    (url, warc_ts, html, text, lang) for benchmarks."""
+    lines = gen_raw_lines(spark, n_docs, partitions)
+    return (
+        lines.groupBy("doc_id", "url", "warc_ts", "lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "raw"))),
+                    lambda s: s["raw"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .withColumn("html", F.encode("text", "utf-8"))
+        .select("url", "warc_ts", "html", "text", "lang", "doc_id")
+    )
+
+
 def gen_raw_lines(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
     """Standalone large-scale corpus for benchmarks: spark.range-driven,
     no parquet dependency. Identical line derivation; lang from doc_id.

@@ -30,8 +30,15 @@ from pyspark.sql import functions as F
 
 def _cands_dim(templates: DataFrame, wildcard: bool) -> DataFrame:
     """Group the template dim by join key with a deterministic preference
-    order inside each candidate array (neg_para asc == para_count desc)."""
-    t = templates.withColumn("neg_para", -F.col("para_count"))
+    order inside each candidate array (neg_para asc == para_count desc).
+
+    Candidates carry their token array: match confirmation is token-wise
+    equality with '<*>' wildcards — plain string comparisons inside
+    whole-stage codegen, ~10× cheaper than per-row regex compilation.
+    """
+    t = templates.withColumn("neg_para", -F.col("para_count")).withColumn(
+        "toks", F.split("event_template", " ")
+    )
     keys = ["token_count"] if wildcard else ["token_count", "first_token"]
     if wildcard:
         t = t.filter(F.col("first_token") == "<*>")
@@ -40,7 +47,7 @@ def _cands_dim(templates: DataFrame, wildcard: bool) -> DataFrame:
     return t.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(
-                F.struct("neg_para", "event_id", "match_regex", "event_template")
+                F.struct("neg_para", "event_id", "toks", "event_template")
             )
         ).alias("cands")
     )
@@ -62,7 +69,6 @@ def match_templates(
         lines.withColumn("_toks", F.split(masked, " "))
         .withColumn("token_count", F.size("_toks"))
         .withColumn("first_token", F.col("_toks")[0])
-        .drop("_toks")
         .join(F.broadcast(exact), ["token_count", "first_token"], "left")
         .join(
             F.broadcast(wild.withColumnRenamed("cands", "wcands")),
@@ -78,7 +84,9 @@ def match_templates(
         .withColumn(
             "_hit",
             F.expr(
-                f"get(filter(_all_cands, c -> {masked} rlike c.match_regex), 0)"
+                "get(filter(_all_cands, c -> forall("
+                "zip_with(c.toks, _toks, (t, a) -> t = '<*>' OR t = a),"
+                " x -> x)), 0)"
             ),
         )
         .withColumn("is_new", F.col("_hit").isNull().cast("int"))
@@ -92,7 +100,7 @@ def match_templates(
             "event_template",
             F.coalesce(F.col("_hit.event_template"), F.col(masked)),
         )
-        .drop("cands", "wcands", "_all_cands", "_hit")
+        .drop("cands", "wcands", "_all_cands", "_hit", "_toks")
     )
     return out
 
