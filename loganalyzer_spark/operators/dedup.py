@@ -226,3 +226,103 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (training-data pipeline extension)
+# ---------------------------------------------------------------------------
+
+from loganalyzer_spark.operators.similarity import (  # noqa: E402
+    _dot,
+    _norm,
+    hyperplane_sign_bits,
+    lsh_planes,
+)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (a < b, cosine >= t).
+
+    O(n^2) all-pairs — the correctness baseline used by the DuckDB
+    oracle at small SF. At 100 TB use ``embedding_near_dups_lsh``:
+    same verify predicate, but candidate generation is a bucket
+    equi-join, not a cross join.
+    """
+    a = emb.select(F.col(key).alias("a"), F.col(vec).alias("avec"))
+    b = emb.select(F.col(key).alias("b"), F.col(vec).alias("bvec"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine", _dot("avec", "bvec") / (_norm("avec") * _norm("bvec"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    nbits: int = 8,
+    dim: int = 64,
+    nbands: int = 4,
+) -> DataFrame:
+    """Scale path: hyperplane-LSH blocked near-dup pairs.
+
+    The nbits signature is split into ``nbands`` bands (banding boosts
+    recall like MinHash-LSH: near vectors agree on at least one whole
+    band with high probability). Pairs sharing any band bucket are
+    exact-verified with the same cosine predicate as the baseline —
+    so precision is 1.0 and only recall is approximate. The join key
+    (band_id, band_bits) distributes; no cross join anywhere.
+    """
+    planes = lsh_planes(dim, nbits)
+    sig = emb.select(
+        F.col(key).alias("vid"),
+        F.col(vec).alias("v"),
+        hyperplane_sign_bits(vec, planes).alias("bits"),
+    )
+    band_width = nbits // nbands
+    mask = (1 << band_width) - 1
+    banded = sig.select(
+        "vid",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("bits", i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("band"),
+    ).select("vid", "v", "band.band_id", "band.band_bits")
+    a = banded.select(
+        F.col("vid").alias("a"), F.col("v").alias("avec"), "band_id", "band_bits"
+    )
+    b = banded.select(
+        F.col("vid").alias("b"), F.col("v").alias("bvec"), "band_id", "band_bits"
+    )
+    cands = (
+        a.join(b, ["band_id", "band_bits"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn(
+            "cosine", _dot("avec", "bvec") / (_norm("avec") * _norm("bvec"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )

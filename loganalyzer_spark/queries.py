@@ -1294,3 +1294,59 @@ def renumber_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.row_number().over(w) - 1).cast("long") * 100000
         ),
     ).select("doc_id", "line_no", "std_ts")
+
+
+# ---------------------------------------------------------------------------
+# M5 messed-line recovery (parser.py:189-308) — sequential per-doc state
+# machine; not SQL-expressible, so registered without an oracle (the
+# driver records a rows-only check; the strong evidence is
+# tests/test_recover.py, which compares the distributed applyInPandas
+# run against a direct transcription of the reference loop).
+# ---------------------------------------------------------------------------
+
+from loganalyzer_spark.operators import recover as R  # noqa: E402
+
+
+@register("messed_recovery", None)
+def messed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: stitch thread-interleaved broken lines (bounded lookahead,
+    applyInPandas per doc — no cross-partition state)."""
+    lines = P.mask(P.wash(datagen.raw_lines(spark, sf_dir)))
+    matched = M.match_templates(lines, datagen.templates_df(spark))
+    staged = matched.select(
+        "doc_id",
+        "line_no",
+        F.when(F.col("is_new") == 1, F.lit("0"))
+        .otherwise(F.col("event_id"))
+        .alias("event_id_old"),
+        "event_template",
+    )
+    out = R.recover_messed_lines(staged, datagen.templates_df(spark))
+    return out.select("doc_id", "line_no", "event_id_old", "recovered")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup dedup (training-data extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dups",
+    """
+    SELECT a, b, cosine FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                   6) AS cosine
+      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+    WHERE cosine >= 0.35
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline (the LSH-blocked
+    scale path shares the verify predicate; recall tested in pytest)."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return DD.embedding_near_dups(emb, threshold=0.35)

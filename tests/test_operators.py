@@ -232,3 +232,31 @@ def test_similarity_matcher_agrees_with_fast_path(spark):
     slow = M.match_similarity(lines, tmpl).select("doc_id", "line_no", "event_id")
     assert fast.exceptAll(slow).count() == 0
     assert slow.exceptAll(fast).count() == 0
+
+
+def test_embedding_near_dups_lsh_recall(spark):
+    """LSH-blocked near-dup: precision 1.0 by construction (exact verify
+    predicate); recall on planted near-identical pairs must be 1.0 —
+    tiny perturbations keep all sign bits, so twins share every band."""
+    import numpy as np
+
+    from loganalyzer_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted twin: same direction, microscopic perturbation
+        rows.append((100 + i, [float(x) for x in v + 1e-6]))
+    emb = spark.createDataFrame(rows, "vec_id: int, embedding: array<double>")
+
+    exact = DD.embedding_near_dups(emb, threshold=0.99)
+    lsh = DD.embedding_near_dups_lsh(emb, threshold=0.99)
+    exact_pairs = {(r["a"], r["b"]) for r in exact.collect()}
+    lsh_pairs = {(r["a"], r["b"]) for r in lsh.collect()}
+
+    planted = {(i, 100 + i) for i in range(20)}
+    assert planted <= exact_pairs
+    assert planted <= lsh_pairs  # recall 1.0 on twins
+    assert lsh_pairs <= exact_pairs  # precision 1.0 (verified pairs only)

@@ -119,3 +119,51 @@ def test_streaming_matches_batch(spark, routed, tmp_path):
     batch_out = pipeline.sink_aggregates(routed, "1 minute")
     assert stream_out.count() == batch_out.count()
     assert stream_out.exceptAll(batch_out).count() == 0
+
+
+def test_stateful_doc_profiles_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: keyed state must carry across micro-batches
+    — feed the same doc ids in two file batches, assert cumulative totals."""
+    import pandas as pd
+
+    from loganalyzer_spark.streaming.stateful import stateful_doc_profiles
+
+    src = str(tmp_path / "state_src")
+    os.makedirs(src)
+    schema = "doc_id BIGINT, is_abn INT, event_id STRING"
+    batch1 = pd.DataFrame(
+        {"doc_id": [1, 1, 2], "is_abn": [0, 1, 0], "event_id": ["aa", "bb", "aa"]}
+    )
+    batch2 = pd.DataFrame(
+        {"doc_id": [1, 2, 2], "is_abn": [1, 0, 0], "event_id": ["aa", "aa", "cc"]}
+    )
+    spark.createDataFrame(batch1, schema).write.parquet(src + "/b1")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    out = stateful_doc_profiles(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).write.parquet(src + "/b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # memory sink in update mode appends each emitted update; take the
+    # last row per key = final accumulated state.
+    rows = spark.sql(
+        """SELECT doc_id, lines, abn, n_events FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY lines DESC) rn FROM profiles)
+           WHERE rn = 1"""
+    ).collect()
+    got = {r["doc_id"]: (r["lines"], r["abn"], r["n_events"]) for r in rows}
+    assert got[1] == (3, 2, 2)  # 2 lines batch1 + 1 batch2; abn 1+1; {aa,bb}
+    assert got[2] == (3, 0, 2)  # 1 + 2 lines; {aa,cc}

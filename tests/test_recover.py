@@ -1,0 +1,135 @@
+"""M5 messed-line recovery (parser.py:189-308) — distributed vs oracle.
+
+The oracle is a direct transcription of the reference's sequential loop
+(run here in pure Python on the same rows); the distributed version must
+produce identical surviving (line_no, recovered) pairs per document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from loganalyzer_spark.operators.recover import (
+    rcv_mess_pdf,
+    recover_messed_lines,
+)
+
+
+def _eid(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()[0:8]
+
+
+# A tiny template library: known events the stitcher can recognize.
+LIB_TEMPLATES = [
+    "Logging system started",
+    "Connection from <*> closed",
+    "CPU load is <*> percent",
+]
+EID_LIB = frozenset(_eid(t) for t in LIB_TEMPLATES)
+
+
+def _mk_doc(doc_id: int, temps: list[tuple[str, str]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": doc_id,
+            "line_no": range(len(temps)),
+            "event_id_old": [e for e, _ in temps],
+            "event_template": [t for _, t in temps],
+        }
+    )
+
+
+def test_rcv_mess_case1_stitch():
+    # O1 = "Connection from <*> closed" was broken after "Conne";
+    # its head got glued onto O2 = "Logging system started".
+    m1 = "ConneLogging system started"  # starts with 'C' (HEADER_CARE)
+    m2 = "ction from <*> closed"  # the orphaned tail of O1
+    pdf = _mk_doc(
+        0,
+        [
+            ("e1", "Some matched line <*>"),
+            ("0", m1),  # split: "Conne" + known template
+            ("0", m2),  # stitched: "Conne" + m2 == O1
+        ],
+    )
+    out = rcv_mess_pdf(pdf, EID_LIB)
+    assert out["recovered"].tolist() == [
+        "Some matched line <*>",
+        "Logging system started",
+        "Connection from <*> closed",
+    ]
+    assert out["line_no"].tolist() == [0, 1, 2]
+
+
+def test_rcv_mess_case3_skip_and_scan_range():
+    # Case 3: an unmatched 'C...' line with NO valid split point is the
+    # whole head (O2 injected a newline) — the line is dropped and its
+    # text stitched onto the next unmatched line.
+    whole_head = "Connection from 1.2.3.4"  # no tail is a known eid
+    tail = " closed"
+    pdf = _mk_doc(
+        0,
+        [
+            ("0", whole_head),  # dropped (case 3)
+            ("0", tail),  # becomes whole_head + tail? no—
+        ],
+    )
+    # After case 3, m1_found=True, so the next unmatched line is stitched
+    # with o1_head == whole_head.
+    out = rcv_mess_pdf(pdf, EID_LIB)
+    assert out["line_no"].tolist() == [1]
+    assert out["recovered"].tolist() == [whole_head + tail]
+
+    # Scan-range abort: if the next unmatched line is >20 lines away the
+    # stitch is abandoned and the line passes through unchanged.
+    filler = [("e1", f"matched {i}") for i in range(25)]
+    pdf2 = _mk_doc(0, [("0", whole_head)] + filler + [("0", tail)])
+    out2 = rcv_mess_pdf(pdf2, EID_LIB)
+    assert out2["recovered"].tolist()[-1] == tail  # unchanged, not stitched
+
+
+def test_rcv_mess_noncare_header_passthrough():
+    # Unmatched line whose first char is not in HEADER_CARE: untouched.
+    pdf = _mk_doc(0, [("0", "xyz unmatched line")])
+    out = rcv_mess_pdf(pdf, EID_LIB)
+    assert out["recovered"].tolist() == ["xyz unmatched line"]
+
+
+def test_recover_distributed_matches_oracle(spark):
+    # Multiple docs, shuffled input order; distributed result per doc
+    # must equal the sequential oracle on the same rows.
+    docs = []
+    for d in range(6):
+        docs.append(
+            _mk_doc(
+                d,
+                [
+                    ("e1", f"Some matched line {d}"),
+                    ("0", "ConneLogging system started"),
+                    ("0", "ction from <*> closed"),
+                    ("0", "Connection from 9.9.9.9"),  # case 3 head
+                    ("0", " closed again"),  # stitched
+                    ("0", "zzz untouched"),
+                ],
+            )
+        )
+    pdf_all = pd.concat(docs, ignore_index=True)
+    sdf = spark.createDataFrame(pdf_all.sample(frac=1.0, random_state=7))
+
+    tmpl = spark.createDataFrame(
+        pd.DataFrame({"event_id": sorted(EID_LIB)})
+    )
+    got = (
+        recover_messed_lines(sdf, tmpl)
+        .orderBy("doc_id", "line_no")
+        .toPandas()
+    )
+
+    want = pd.concat(
+        [rcv_mess_pdf(d, EID_LIB) for d in docs], ignore_index=True
+    )
+    got_pairs = list(zip(got["doc_id"], got["line_no"], got["recovered"]))
+    want_pairs = list(zip(want["doc_id"], want["line_no"], want["recovered"]))
+    assert got_pairs == want_pairs
