@@ -1,0 +1,142 @@
+"""Source/sink abstraction: Iceberg catalog tables with parquet fallback.
+
+The north rule's production input is an Iceberg table of web pages
+(url, warc_ts, html, text, lang) at 10^12 rows. This sandbox has no
+Iceberg runtime jar, so every reader/writer here accepts either
+
+  * a catalog table reference  ``catalog.db.web_pages``  → Iceberg path
+    (``spark.read.table`` / ``writeTo`` / ``MERGE INTO``), picking up
+    partition pruning on the table's partition spec
+    (days(warc_ts), bucket(16, lang) recommended — see below), or
+  * a filesystem path ``/data/sf0.1`` → parquet (what tests/bench use).
+
+The DataFrame lineage is identical either way — Catalyst sees the same
+logical plan above the scan, so correctness tests on parquet transfer
+to the Iceberg deployment; only the scan node and the DDL differ.
+
+Recommended production DDL (not executable here — no catalog):
+
+    CREATE TABLE prod.cc.web_pages (
+        url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+        lang STRING)
+    USING iceberg
+    PARTITIONED BY (days(warc_ts), bucket(16, lang))
+    TBLPROPERTIES ('write.target-file-size-bytes'='536870912');
+
+days(warc_ts) gives the A12 window aggregates partition pruning on the
+time axis; bucket(16, lang) spreads the Zipfian language skew so no
+single partition holds the en-dominated head.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TABLE_REF = re.compile(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){1,2}$")
+
+
+def is_table_ref(ref: str) -> bool:
+    """catalog.db.table / db.table → True; anything path-like → False."""
+    return bool(_TABLE_REF.match(ref)) and "/" not in ref
+
+
+def read_web_pages(spark: SparkSession, ref: str) -> DataFrame:
+    """Read the input_hint table from an Iceberg catalog or parquet dir.
+
+    Filters/column pruning above this scan push down either way
+    (Iceberg: partition pruning + min/max file skipping; parquet:
+    PushedFilters — both visible in .explain('formatted')).
+    """
+    if is_table_ref(ref):
+        return spark.read.table(ref)
+    if ref.endswith(".parquet") or ref.rstrip("/").endswith("documents"):
+        return spark.read.parquet(ref)
+    return spark.read.parquet(f"{ref}/documents.parquet")
+
+
+def write_partitioned(
+    df: DataFrame, ref: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Fan-out sink: Iceberg ``writeTo`` (dynamic overwrite of touched
+    partitions only) or parquet ``partitionBy``.
+
+    Callers pre-salt hot partitions (enrich.write_sinks) — this layer
+    only picks the physical sink.
+    """
+    if is_table_ref(ref):
+        w = df.writeTo(ref).using("iceberg")
+        if partition_cols:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(ref)
+
+
+def merge_template_lib_sql(target: str, source_view: str = "new_templates") -> str:
+    """The S8 template-library upsert as Iceberg MERGE INTO.
+
+    Mirrors the reference's warm-start lib update (drain.py:889-899,
+    incremental add drain.py:962-966): existing event_ids keep their
+    template (first-writer-wins, as the reference never rewrites an
+    id), new ids are appended.
+    """
+    return f"""
+MERGE INTO {target} t
+USING (SELECT event_id, event_template,
+              count(*) AS occurrences
+       FROM {source_view}
+       GROUP BY event_id, event_template) s
+ON t.event_id = s.event_id
+WHEN MATCHED THEN
+  UPDATE SET t.occurrences = t.occurrences + s.occurrences
+WHEN NOT MATCHED THEN
+  INSERT (event_id, event_template, occurrences)
+  VALUES (s.event_id, s.event_template, s.occurrences)
+""".strip()
+
+
+def upsert_template_lib(
+    spark: SparkSession, new_templates: DataFrame, target: str
+) -> None:
+    """Run the MERGE against an Iceberg table, or emulate it on parquet
+    (read-modify-write with the same first-writer-wins semantics) so
+    the sandbox exercises the identical logical behavior."""
+    from pyspark.sql import functions as F
+
+    agg = new_templates.groupBy("event_id", "event_template").agg(
+        F.count("*").alias("occurrences")
+    )
+    if is_table_ref(target):
+        agg.createOrReplaceTempView("_tmpl_updates")
+        spark.sql(merge_template_lib_sql(target, "_tmpl_updates"))
+        return
+    try:
+        existing = spark.read.parquet(target)
+    except Exception:
+        agg.write.mode("overwrite").parquet(target)
+        return
+    merged = (
+        existing.alias("t")
+        .join(agg.alias("s"), "event_id", "full_outer")
+        .select(
+            "event_id",
+            F.coalesce("t.event_template", "s.event_template").alias(
+                "event_template"
+            ),
+            (
+                F.coalesce("t.occurrences", F.lit(0))
+                + F.coalesce("s.occurrences", F.lit(0))
+            ).alias("occurrences"),
+        )
+    )
+    # rewrite via a staging collect-free overwrite: parquet cannot
+    # overwrite a dir being read, so cache + checkpoint through memory
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(target)

@@ -260,3 +260,39 @@ def test_embedding_near_dups_lsh_recall(spark):
     assert planted <= exact_pairs
     assert planted <= lsh_pairs  # recall 1.0 on twins
     assert lsh_pairs <= exact_pairs  # precision 1.0 (verified pairs only)
+
+
+def test_sources_table_abstraction(spark, tmp_path):
+    """Iceberg-or-parquet source layer: ref detection, parquet fallback
+    read, MERGE SQL shape, and the parquet upsert emulation."""
+    from loganalyzer_spark import sources as S
+
+    assert S.is_table_ref("prod.cc.web_pages")
+    assert S.is_table_ref("cc.web_pages")
+    assert not S.is_table_ref("/data/sf0.1")
+    assert not S.is_table_ref("sf0.1/documents.parquet")
+
+    sql = S.merge_template_lib_sql("prod.cc.template_lib")
+    assert "MERGE INTO prod.cc.template_lib" in sql
+    assert "WHEN NOT MATCHED" in sql
+
+    pages = S.read_web_pages(spark, "/root/testdata/sf0.001")
+    assert "text" in pages.columns
+
+    # upsert emulation: second batch increments counts, keeps template
+    lib = str(tmp_path / "lib")
+    b1 = spark.createDataFrame(
+        [("e1", "T one"), ("e1", "T one"), ("e2", "T two")],
+        "event_id: string, event_template: string",
+    )
+    S.upsert_template_lib(spark, b1, lib)
+    b2 = spark.createDataFrame(
+        [("e1", "T one"), ("e3", "T three")],
+        "event_id: string, event_template: string",
+    )
+    S.upsert_template_lib(spark, b2, lib)
+    got = {
+        r["event_id"]: r["occurrences"]
+        for r in spark.read.parquet(lib).collect()
+    }
+    assert got == {"e1": 3, "e2": 1, "e3": 1}

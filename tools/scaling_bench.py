@@ -72,7 +72,10 @@ def run_once(corpus: str, cores: int, zpath: str) -> dict:
         "--conf", "spark.default.parallelism=32",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",
-        "--conf", "spark.driver.memory=48g",
+        # 16g, NOT bigger: on this VM a 48g heap collapses 32-thread
+        # throughput ~4x (ParallelGC young-gen scans of a huge cold heap
+        # dominate); 16g is the measured sweet spot at every ladder rung.
+        "--conf", "spark.driver.memory=16g",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", "spark.ui.enabled=false",
         os.path.join(REPO, "jobs", "run_pipeline.py"),
