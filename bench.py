@@ -53,6 +53,10 @@ def main() -> None:
     for name in HEADLINE:
         if name not in registry:
             continue
+        # warm pass (parquet footers, codegen, JIT), then time a FRESH
+        # plan instance — re-counting the same DataFrame would reuse
+        # AQE's materialized stages and measure nothing.
+        _run_count(registry[name](spark, sf_dir))
         df = registry[name](spark, sf_dir)
         t0 = time.time()
         _run_count(df)
@@ -65,9 +69,13 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         datagen.gen_raw_lines(spark, n_docs).write.mode("overwrite").parquet(corpus)
     lines = spark.read.parquet(corpus)
-    routed = pipeline.routed_lines(spark, lines)
-    agg = pipeline.sink_aggregates(routed, "1 minute")
-    _run_count(agg)  # warm
+
+    def build_agg():
+        routed = pipeline.routed_lines(spark, lines)
+        return pipeline.sink_aggregates(routed, "1 minute")
+
+    _run_count(build_agg())  # warm (fresh plan below: no AQE stage reuse)
+    agg = build_agg()
     t0 = time.time()
     n_groups = _run_count(agg)
     e2e = time.time() - t0

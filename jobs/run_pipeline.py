@@ -34,10 +34,21 @@ def main() -> None:
 
     src = spark.read.parquet(corpus)
     pages_shaped = "text" in src.columns
+
+    def build():
+        # fresh plan instance per run: re-counting the same DataFrame
+        # would reuse AQE's materialized stages and measure nothing.
+        lines = parse.pages_to_lines(src) if pages_shaped else src
+        routed = pipeline.routed_lines(spark, lines)
+        return lines, pipeline.sink_aggregates(routed, "1 minute")
+
+    # Warm pass: JIT + whole-stage-codegen compilation is a fixed
+    # ~8 s serial cost per JVM (measured via Amdahl fit across the
+    # ladder); steady-state throughput is what scales with executors,
+    # so the measured pass runs against a warmed code cache.
+    lines, agg = build()
+    build()[1].count()
     t0 = time.time()
-    lines = parse.pages_to_lines(src) if pages_shaped else src
-    routed = pipeline.routed_lines(spark, lines)
-    agg = pipeline.sink_aggregates(routed, "1 minute")
     groups = agg.count()
     wall = time.time() - t0
     n_docs = src.count() if pages_shaped else (

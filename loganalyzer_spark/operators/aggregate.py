@@ -84,15 +84,24 @@ def ecm_vectors(
         .groupBy(*keys, idx.alias("idx"))
         .agg(F.sum("cnt").alias("c"))
     )
-    return per_idx.groupBy(*keys).agg(
-        F.aggregate(
-            F.collect_list(F.struct("idx", "c")),
-            F.expr(f"array_repeat(0L, {size})"),
-            lambda acc, x: F.transform(
-                acc,
-                lambda v, i: F.when(i == x["idx"], v + x["c"]).otherwise(v),
-            ),
-        ).alias("vec")
+    # Densify via map lookup: O(size) per group. (A fold that rewrites
+    # the whole array per entry is O(items*size) — at vocab 2000 that is
+    # a 4M-op-per-group difference.) The map is materialized once per
+    # group in the agg; the lambda then only does per-index lookups.
+    return (
+        per_idx.groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("idx", "c")))
+            ).alias("_m")
+        )
+        .select(
+            *keys,
+            F.expr(
+                f"transform(sequence(0, {size - 1}),"
+                " i -> coalesce(_m[i], 0L))"
+            ).alias("vec"),
+        )
     )
 
 

@@ -141,3 +141,123 @@ def cosine_topk_lsh(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means cells + nprobe search
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from collections.abc import Iterator  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 10,
+    sample_rows: int = 20_000,
+    vec: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side deterministic k-means on a bounded sample.
+
+    The codebook is tiny (k × dim floats) and is broadcast for
+    assignment; training cost is bounded by ``sample_rows`` regardless
+    of corpus size — the standard IVF recipe (train on a sample,
+    assign everything).
+    """
+    pdf = emb.select(vec).limit(sample_rows).toPandas()
+    X = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[j] = m / n
+    return cent
+
+
+def _cell_assign_udf(spark, centroids: np.ndarray, nprobe: int):
+    """Vectorized cell assignment: one matmul per Arrow batch."""
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        cent = bc.value
+        X = np.vstack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (X / norms) @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return cells
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest cell; each query
+    probes its ``nprobe`` nearest cells and exact-scores only those
+    members. The cross join becomes an equi-join on cell id, cutting
+    scored pairs by ~n_cells/nprobe; recall is tested (not assumed)
+    in pytest against the brute-force baseline.
+
+    At 100 TB the cell assignment is one narrow matmul pass (Arrow
+    batches), the codebook is broadcast, and the candidate join
+    shuffles only by cell id — skew across cells is bounded by k-means
+    balance, with AQE skew-split as the backstop.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, k=n_cells, vec=vec)
+    assign1 = _cell_assign_udf(spark, centroids, 1)
+    assignp = _cell_assign_udf(spark, centroids, nprobe)
+
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec).alias("cvec"),
+        F.element_at(assign1(F.col(vec)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.col(vec).alias("qvec"),
+        F.explode(assignp(F.col(vec))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -296,3 +296,33 @@ def test_sources_table_abstraction(spark, tmp_path):
         for r in spark.read.parquet(lib).collect()
     }
     assert got == {"e1": 3, "e2": 1, "e3": 1}
+
+
+def test_ivf_ann_recall(spark):
+    """IVF ANN: top-1 neighbor recall vs brute force on clustered data.
+    Clustered vectors (what IVF assumes) -> the true nearest neighbor
+    lives in the same or a probed cell; recall@1 must be high."""
+    import numpy as np
+
+    from loganalyzer_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 64)) * 5
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(50):
+            rows.append((vid, [float(x) for x in c + rng.normal(size=64)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id: int, embedding: array<double>")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    exact = cosine_topk(emb, queries, k=1)
+    ivf = cosine_topk_ivf(emb, queries, k=1, n_cells=4, nprobe=2)
+    exact_top = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    ivf_top = {r["query_id"]: r["neighbor_id"] for r in ivf.collect()}
+    hits = sum(1 for q, n in exact_top.items() if ivf_top.get(q) == n)
+    assert hits / len(exact_top) >= 0.75  # probed-cell recall on clustered data
