@@ -1350,3 +1350,33 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     return DD.embedding_near_dups(emb, threshold=0.35)
+
+
+@register(
+    "embedding_cosine_topk_ivf",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                   6) AS cosine,
+             cast(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                  c.vec_id) AS INT) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 10
+    """,
+)
+def embedding_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN driven with nprobe == n_cells: probing every cell makes
+    the result exactly the brute-force top-k (same oracle), while the
+    query still exercises the codebook/assignment/cell-join machinery.
+    Production uses nprobe << n_cells (recall tested in pytest)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return SIM.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=8
+    )
