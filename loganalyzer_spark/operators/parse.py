@@ -48,20 +48,27 @@ def pages_to_lines(pages: DataFrame) -> DataFrame:
 
 
 def wash(lines: DataFrame, raw: str = "raw") -> DataFrame:
-    """P1/P2/P3/P9/P10 as pure column expressions (one codegen stage)."""
-    r = F.col(raw)
-    has_label = lambda pat: F.when(  # noqa: E731
-        r.rlike(_TS_ANCHOR.replace("(abn: )?(segsign: )?(c[0-9]{3} )?", "") + pat),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    """P1/P2/P3/P9/P10 as pure column expressions (one codegen stage).
+
+    The anchored timestamp regex is evaluated ONCE per line
+    (regexp_extract of the whole matched prefix); flags, class label and
+    the stripped content all derive from that prefix with cheap string
+    ops. The naive form (one rlike/replace per derived column) re-scans
+    every line with the anchor regex ~6x — measured at ~2x the wash
+    stage cost on the 18M-line corpus.
+    """
+    # prefix = "<ts> [abn: ][segsign: ][cNNN ]" or "" when no ts matches;
+    # label markers can only occur inside the matched prefix, so
+    # contains() on the prefix is exact.
     return (
-        lines.withColumn("has_ts", r.rlike(_TS_ANCHOR).cast("int"))
-        .withColumn("is_abn", has_label("(abn: )"))
-        .withColumn("is_seg", has_label("(abn: )?(segsign: )"))
-        .withColumn("class_label", F.regexp_extract(raw, _TS_ANCHOR, 7))
-        .withColumn("_stripped", F.regexp_replace(raw, _TS_ANCHOR, ""))
+        lines.withColumn("_pfx", F.regexp_extract(raw, _TS_ANCHOR, 0))
+        .withColumn("has_ts", (F.col("_pfx") != "").cast("int"))
+        .withColumn("is_abn", F.col("_pfx").contains("abn: ").cast("int"))
+        .withColumn("is_seg", F.col("_pfx").contains("segsign: ").cast("int"))
+        .withColumn("class_label", F.regexp_extract("_pfx", "(c[0-9]{3} )$", 1))
+        .withColumn("_stripped", F.expr(f"substring({raw}, length(_pfx) + 1)"))
         .withColumn("content", F.regexp_replace("_stripped", _CLEAN_CHAR, ""))
-        .drop("_stripped")
+        .drop("_pfx", "_stripped")
         .filter(~F.col("content").rlike("^[ \t]*$"))  # P3 empty-line purge
     )
 
@@ -87,6 +94,11 @@ def masked_sql_expr(col: str) -> Column:
     reference-fidelity fallback for pattern sets where Java regex
     semantics diverge.
     """
+    # Sequential passes, deliberately NOT merged into one alternation:
+    # A/B measurement (3 reps, local[8], 18M lines) shows the merged
+    # (?:ctime)|(?:ipv4)|(?:mac) pattern ~10% SLOWER — single-pattern
+    # passes keep Java regex's literal-prefix scan optimizations that a
+    # top-level alternation defeats.
     e = F.regexp_replace(col, P.SQL_CTIME, "<*>")
     e = F.regexp_replace(e, P.SQL_IPV4, "<*>")
     e = F.regexp_replace(e, P.SQL_MAC, "<*>")
