@@ -27,6 +27,8 @@ HEADLINE = [
     "tumbling_window_stats",
     "sessionize_events",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "region_revenue",
     "topk_orders_per_priority",
 ]

@@ -1380,3 +1380,116 @@ def embedding_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-heavy analytics breadth (TPC-H Q3/Q5 shapes over the shared tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-01'
+      AND l_shipdate > TIMESTAMP '1996-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping-priority shape: selective dim filter broadcast into a
+    fact-fact join, partial-agg'd revenue, global top-k.
+
+    Plan: customer(filtered) is broadcast; orders⋈lineitem shuffles on
+    orderkey (the only large exchange); TakeOrderedAndProject caps the
+    sort at k rows — no full sort at any scale.
+    """
+    cust = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(
+        F.col("o_orderdate") < "1996-06-01"
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") > "1996-06-01"
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier-volume shape: a 6-way join where every
+    dimension (supplier, nation, region, filtered customer) broadcasts
+    and only orders⋈lineitem exchanges data. The c_nationkey =
+    s_nationkey 'local supplier' predicate rides the supplier join."""
+    cust = spark.read.parquet(_t(sf_dir, "customer")).select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nat = spark.read.parquet(_t(sf_dir, "nation"))
+    reg = spark.read.parquet(_t(sf_dir, "region")).filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )
