@@ -167,3 +167,66 @@ def test_stateful_doc_profiles_accumulates_across_batches(spark, tmp_path):
     got = {r["doc_id"]: (r["lines"], r["abn"], r["n_events"]) for r in rows}
     assert got[1] == (3, 2, 2)  # 2 lines batch1 + 1 batch2; abn 1+1; {aa,bb}
     assert got[2] == (3, 0, 2)  # 1 + 2 lines; {aa,cc}
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed ECM with a 10-minute watermark: windows emit
+    once the watermark passes their end, and rows arriving later than
+    the watermark are dropped — the late-data contract the batch A12
+    aggregate inherits when run under Structured Streaming."""
+    import pandas as pd
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    schema = "warc_ts TIMESTAMP, sink_class STRING, event_id STRING"
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["warc_ts", "sink_class", "event_id"])
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+        # one part-file per logical batch: maxFilesPerTrigger=1 must see
+        # each write as ONE micro-batch or the watermark advances
+        # mid-batch and drops rows we intend to be on time.
+        spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    t = "2022-06-22 10:{:02d}:00"
+    write("b1", [(t.format(0), "normal", "aa"),
+                 (t.format(5), "normal", "aa"),
+                 (t.format(30), "normal", "bb")])  # watermark -> 10:20
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    agg = (
+        stream.withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"),
+                 "sink_class", "event_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("bucket_start"), "sink_class",
+                "event_id", "cnt")
+    )
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("wm_out").start())
+    try:
+        q.processAllAvailable()
+        # b2: one row INSIDE the closed 10:00 window (too late, dropped)
+        # and one at 11:00 (advances watermark past 10:30's window end).
+        write("b2", [(t.format(1), "normal", "aa"),
+                     ("2022-06-22 11:00:00", "normal", "cc")])
+        q.processAllAvailable()
+        write("b3", [("2022-06-22 11:30:00", "normal", "dd")])
+        q.processAllAvailable()  # advances watermark, closes 11:00 window
+    finally:
+        q.stop()
+
+    rows = {
+        (r["bucket_start"].strftime("%H:%M"), r["event_id"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    # 10:00 window emitted with the ON-TIME count only (2, not 3: the
+    # late b2 row was dropped); 10:30 and 11:00 windows emitted too.
+    assert rows[("10:00", "aa")] == 2
+    assert rows[("10:30", "bb")] == 1
+    assert rows[("11:00", "cc")] == 1
+    assert ("11:30", "dd") not in rows  # window still open at stop
