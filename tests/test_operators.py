@@ -326,3 +326,31 @@ def test_ivf_ann_recall(spark):
     ivf_top = {r["query_id"]: r["neighbor_id"] for r in ivf.collect()}
     hits = sum(1 for q, n in exact_top.items() if ivf_top.get(q) == n)
     assert hits / len(exact_top) >= 0.75  # probed-cell recall on clustered data
+
+
+def test_wash_class_label_and_labels(spark):
+    """P9/P10/S5 label extraction on crafted lines — covers the cNNN
+    class label path the synthetic corpus never hits (wash derives all
+    flags from a single anchored-prefix extract; this pins the
+    group semantics)."""
+    from loganalyzer_spark.operators import parse
+
+    rows = [
+        (1, 0, "2022-06-22 10:00:00 abn: segsign: c007 Command: RETR x.dat"),
+        (1, 1, "2022-06-22 10:00:01 c123 Response: 230 Login successful"),
+        (1, 2, "2022-06-22 10:00:02 plain line"),
+        (1, 3, "no timestamp line"),
+        (1, 4, "2022-06-22 10:00:03    "),  # empty content -> purged
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, line_no: long, raw: string")
+    got = {
+        r["line_no"]: (
+            r["has_ts"], r["is_abn"], r["is_seg"], r["class_label"], r["content"]
+        )
+        for r in parse.wash(df).collect()
+    }
+    assert got[0] == (1, 1, 1, "c007 ", "Command: RETR x.dat")
+    assert got[1] == (1, 0, 0, "c123 ", "Response: 230 Login successful")
+    assert got[2] == (1, 0, 0, "", "plain line")
+    assert got[3] == (0, 0, 0, "", "no timestamp line")
+    assert 4 not in got  # P3 purge
