@@ -42,7 +42,9 @@ def _run_count(df) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+    # 500k docs ≈ 4.5M lines: big enough that the measured pass (~7 s)
+    # dominates fixed per-job overheads, small enough to stay quick.
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
 
     from loganalyzer_spark import datagen, pipeline
     from loganalyzer_spark import queries as qmod
@@ -64,16 +66,19 @@ def main() -> None:
         _run_count(df)
         timings[name] = round(time.time() - t0, 3)
 
-    # End-to-end throughput over a parquet corpus (mirrors the north
-    # rule's Iceberg-table input; synthesis cost is excluded from the
-    # measured DAG). Corpus is generated once and reused across rounds.
-    corpus = f"/tmp/loganalyzer_bench/corpus_{n_docs}"
+    # End-to-end throughput over the input_hint-shaped pages corpus
+    # (url, warc_ts, html, text, lang — mirrors the north rule's
+    # Iceberg table; synthesis cost is excluded from the measured DAG).
+    # Corpus is generated once and reused across rounds.
+    corpus = f"/tmp/loganalyzer_bench/bench_pages_{n_docs}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        datagen.gen_raw_lines(spark, n_docs).write.mode("overwrite").parquet(corpus)
-    lines = spark.read.parquet(corpus)
+        datagen.gen_web_pages(spark, n_docs).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(corpus)
+    pages = spark.read.parquet(corpus)
 
     def build_agg():
-        routed = pipeline.routed_lines(spark, lines)
+        routed = pipeline.routed_from_pages(spark, pages)
         return pipeline.sink_aggregates(routed, "1 minute")
 
     _run_count(build_agg())  # warm (fresh plan below: no AQE stage reuse)

@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # measured on this VM (BENCH/BASELINE.md): small parquet files
+        # otherwise bin-pack into one task wave per core count —
+        # multiple waves load-balance stragglers (+43% at 32 threads)
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
