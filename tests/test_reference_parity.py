@@ -121,3 +121,64 @@ def test_event_ids_match_reference_drain(spark, tmp_path):
         if not ok:
             disagree.append((i, rid, r["event_id"], r["is_new"]))
     assert not disagree, f"{len(disagree)} mismatches, first: {disagree[:5]}"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not present"
+)
+def test_evolved_templates_match_reference_drain(spark, tmp_path):
+    """D3/D4: the offline batch library evolution must land on the SAME
+    template set as the reference's online Drain clustering over the
+    same lines (same lib seed, same masks)."""
+    import pandas as pd
+
+    from loganalyzer_spark import datagen
+    from loganalyzer_spark.operators import evolve, parse
+    from loganalyzer_spark.patterns import PTN_HARD_PARA, PTN_SPEC_TOKEN
+
+    N = 3000
+    sdf = (
+        datagen.gen_raw_lines(spark, max(1, N // 9))
+        .select("doc_id", "line_no", "raw")
+        .limit(N)
+    )
+    washed = parse.wash(sdf).select("doc_id", "line_no", "content").orderBy(
+        "doc_id", "line_no"
+    )
+
+    Drain, Para = _import_reference_drain()
+    lib_csv = str(tmp_path / "lib.csv")
+    trows = datagen.template_rows()
+    pd.DataFrame(
+        {
+            "EventIdOld": [r[0] for r in trows],
+            "EventId": [r[0] for r in trows],
+            "EventTemplate": [r[1] for r in trows],
+        }
+    ).to_csv(lib_csv, index=False)
+    para = Para(
+        log_format="<Content>",
+        rex={p: r for p, r in PTN_HARD_PARA},
+        rex_s_token=list(PTN_SPEC_TOKEN),
+        raw_file="synthetic",
+        tmplt_lib=lib_csv,
+        outdir=str(tmp_path / "out") + "/",
+        nopgbar=True,
+        aim=True,
+        intmdt=False,
+        over_wr_lib=False,
+        inc_updt=True,
+    )
+    drain = Drain(para, [r["content"] + "\n" for r in washed.collect()])
+    drain.main_process()
+    ref_templates = set(drain.df_tmplts["EventTemplate"].tolist())
+
+    ours = evolve.evolve_library(
+        spark,
+        parse.mask(washed, content="content"),
+        base_templates=datagen.templates_df(spark),
+    )
+    our_templates = {
+        r["event_template"] for r in ours.select("event_template").collect()
+    }
+    assert our_templates == ref_templates and ref_templates
