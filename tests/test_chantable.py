@@ -72,3 +72,42 @@ def test_ds_chan_table_two_tables_reset(spark):
     ]
     # 4 cooked rows from table one, 2 from the truncated second table
     assert len(cooked) == 6
+
+
+US_TABLE = [
+    "Active Upstream Channels:",
+    "                    rng     pwr        frequency     symbols   phy  ok tx",
+    " txid  ucid  dcid   sid     dBmv          MHz          sec    type  data?",
+    " ----  ----  ----  ------  -----    ---------------  -------  ----  -----",
+    "    0   101     1     0x2      18             9.000  5120000     3      y",
+    "    8   149     1     0x2      18   63.700 - 78.450        0     5      y",
+    "    2   103     1     0x2      18            15.400  5120000     3  extra n trail",
+    "    3   104     1     0x2      18            16.000  5120000     3  bad zz",
+    "End of table marker",
+]
+
+
+def test_us_chan_table_reformat(spark):
+    from loganalyzer_spark.operators.chantable import reformat_us_chan_table
+
+    df = spark.createDataFrame(
+        [(0, i, s) for i, s in enumerate(US_TABLE)],
+        "doc_id: long, line_no: long, content: string",
+    )
+    out = reformat_us_chan_table(
+        df, "^Active Upstream Channels:", TITLE, END
+    )
+    got = [r["content"] for r in out.orderBy("line_no").collect()]
+    assert got == [
+        # SC-QAM: freq_end repeats freq_start (us_chan_log_scqam)
+        "US channel status txid 0 ucid 101 dcid 1 rngsid 0x2 power 18"
+        " freqstart 9.000 freqend 9.000 symrate 5120000 phytype 3 txdata y",
+        # OFDMA: range split by '-' (preprocess.py:322-331)
+        "US channel status txid 8 ucid 149 dcid 1 rngsid 0x2 power 18"
+        " freqstart 63.700 freqend 78.450 symrate 0 phytype 5 txdata y",
+        # legacy table: tx-data recovered from the glued second sub-token
+        "US channel status txid 2 ucid 103 dcid 1 rngsid 0x2 power 18"
+        " freqstart 15.400 freqend 15.400 symrate 5120000 phytype 3 txdata n",
+        # unrecoverable legacy column: dropped; end line kept
+        "End of table marker",
+    ]
