@@ -25,6 +25,13 @@ REFERENCE = "/root/reference"
 def _import_reference_drain():
     if REFERENCE not in sys.path:
         sys.path.append(REFERENCE)
+    # test_mask_fidelity injects a synthetic bare `analyzer` module to
+    # load individual reference files; purge any such non-package
+    # entries so the real /root/reference package imports cleanly.
+    for name in sorted(k for k in sys.modules if k.split(".")[0] == "analyzer"):
+        mod = sys.modules[name]
+        if not str(getattr(mod, "__file__", "") or "").startswith(REFERENCE):
+            del sys.modules[name]
     os.environ.setdefault("ANALYZER_DATA", "/tmp/loganalyzer_bench/ref_data")
     for sub in ("persist", "cooked", "train", "test"):
         os.makedirs(
