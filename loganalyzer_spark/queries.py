@@ -1493,3 +1493,69 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 channel-table reformat — oracle-checked over a literal table (the
+# reference's own docstring example, extensions/cm/preprocess.py:222-296)
+# ---------------------------------------------------------------------------
+
+_CHAN_ROWS = [
+    (0, "Some normal log"),
+    (1, "Active Downstream Channel Diagnostics:"),
+    (2, ""),
+    (3, "  rx id  dcid    freq, hz  qam  fec   snr, dB   power, dBmV  modulation"),
+    (4, "                            plc  prfA"),
+    (5, "  -----  ----  ----------  ---  ---  ---------  -----------  ----------"),
+    (6, "      0*    1   300000000   y    y          35            3       Qam64"),
+    (7, "      1     2   308000000   y    y          34            4      Qam256"),
+    (8, "     32    66   698000000   y    y          35            1    OFDM PLC"),
+    (9, "      2     3   310000000   y    y          33            2    Qam2566junk"),
+    (10, "      3     4   312000000   y    y"),
+    (11, "Non-nested interleaved line"),
+    (12, "      4     5   314000000   y    y          31            5    Xbroken"),
+    (13, "End of table marker"),
+    (14, "Another normal log"),
+]
+
+_CHAN_EXPECT = [
+    (0, "Some normal log"),
+    (6, "DS channel status rxid 0* dcid 1 freq 300000000 qam y fec y"
+        " snr 35 power 3 mod Qam64"),
+    (7, "DS channel status rxid 1 dcid 2 freq 308000000 qam y fec y"
+        " snr 34 power 4 mod Qam256"),
+    (8, "DS channel status rxid 32 dcid 66 freq 698000000 qam y fec y"
+        " snr 35 power 1 mod OFDM_PLC"),
+    (9, "DS channel status rxid 2 dcid 3 freq 310000000 qam y fec y"
+        " snr 33 power 2 mod Qam256"),
+    (11, "Non-nested interleaved line"),
+    (13, "End of table marker"),
+    (14, "Another normal log"),
+]
+
+
+@register(
+    "chan_table_reformat",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        "(%d, '%s')" % (n, s.replace("'", "''")) for n, s in _CHAN_EXPECT
+    )
+    + ") AS t(line_no, content)",
+)
+def chan_table_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: the reformat operator over the reference's docstring table;
+    the oracle is the reference loop's expected output verbatim
+    (independently derived in tests/test_chantable.py)."""
+    from loganalyzer_spark.operators.chantable import reformat_ds_chan_table
+
+    df = spark.createDataFrame(
+        [(0, n, s) for n, s in _CHAN_ROWS],
+        "doc_id: long, line_no: long, content: string",
+    )
+    out = reformat_ds_chan_table(
+        df,
+        "^Active Downstream Channel Diagnostics:",
+        r"^[ \t]+(-+[ \t]+)+-+[ \t]*$",
+        "^End of table",
+    )
+    return out.select("line_no", "content")
