@@ -1559,3 +1559,51 @@ def chan_table_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "^End of table",
     )
     return out.select("line_no", "content")
+
+
+# ---------------------------------------------------------------------------
+# Gap-based session windows — Spark's native session_window (the
+# streaming-compatible generalization of the reference's marker-based
+# segmentation, SURVEY §2.11); oracle = classic island detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_stats",
+    """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM (
+      SELECT *, sum(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                    <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+        FROM events))
+    GROUP BY user_id, sess
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via F.session_window (30-minute gap):
+    works identically under Structured Streaming with a watermark.
+    The DuckDB oracle re-derives sessions with lag + cumulative sum
+    (island detection) — same semantics, independent machinery."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+    )
