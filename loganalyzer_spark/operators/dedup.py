@@ -326,3 +326,69 @@ def embedding_near_dups_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup resolution: survivor selection + connected components
+# ---------------------------------------------------------------------------
+
+
+def near_dup_survivors(
+    docs: DataFrame, pairs: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Keep-smallest-id survivor policy: any doc with a near-dup
+    neighbor of smaller id is dropped (left_anti on the pair's right
+    side). One anti join — no iteration; the standard web-dedup
+    resolution when pairs come from MinHash/SimHash/embedding blocks.
+    """
+    losers = pairs.select(F.col("b").alias(key)).distinct()
+    return docs.join(losers, key, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Exact duplicate-cluster ids via iterative min-label propagation
+    (large-star/small-star style): each node repeatedly adopts the
+    minimum label in its neighborhood until a fixpoint.
+
+    Iterative by nature (not SQL-expressible in one query); each round
+    is two shuffles on the edge list, and convergence needs
+    O(log(diameter)) rounds for near-dup clusters, which are tiny.
+    Returns (node, component) with component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("x")
+        .agg(F.least(F.min("y"), F.first("x")).alias("comp"))
+        .select(F.col("x").alias("node"), "comp")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbor-min pass: comp(node) = min(comp(node), comp(neighbors))
+        nbr = (
+            edges.join(labels, edges.y == labels.node)
+            .select(F.col("x").alias("node"), F.col("comp"))
+        )
+        new = (
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

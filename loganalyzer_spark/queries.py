@@ -1607,3 +1607,40 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_start", "session_end", "n_events", "total_value"
         )
     )
+
+
+@register(
+    "near_dup_survivors",
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) >= 0.35
+      ) p WHERE p.b = d.doc_id)
+    """,
+)
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution: drop every doc that has an embedding-cosine
+    near-dup with a smaller id (anti join on the pair table)."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    pairs = DD.embedding_near_dups(emb, threshold=0.35)
+    return DD.near_dup_survivors(docs, pairs)
+
+
+@register("dup_components", None)  # iterative — rows-only driver check
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup clusters via iterative min-label propagation
+    (connected components over the near-dup pair graph). Correctness
+    pinned by tests/test_operators.py::test_connected_components."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    pairs = DD.embedding_near_dups(emb, threshold=0.35)
+    return DD.connected_components(pairs).orderBy("node")

@@ -354,3 +354,31 @@ def test_wash_class_label_and_labels(spark):
     assert got[2] == (1, 0, 0, "", "plain line")
     assert got[3] == (0, 0, 0, "", "no timestamp line")
     assert 4 not in got  # P3 purge
+
+
+def test_connected_components(spark):
+    """Min-label propagation on a known graph: two chains and an
+    isolated pair — every node must get its component's min id,
+    including multi-hop chains (the part one-shot SQL can't do)."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 4)],
+        "a: long, b: long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in DD.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_survivors(spark):
+    from loganalyzer_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id: long")
+    pairs = spark.createDataFrame([(0, 3), (1, 4)], "a: long, b: long")
+    kept = sorted(
+        r["doc_id"] for r in DD.near_dup_survivors(docs, pairs).collect()
+    )
+    assert kept == [0, 1, 2, 5]
