@@ -52,19 +52,23 @@ def quality_score(docs: DataFrame, text: str = "text") -> DataFrame:
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
         F.lit(0.0)
     )
-    score = (
-        F.least(n_toks.cast("double") / 50, F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
-        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
-        + F.least(mean_len / 8, F.lit(1.0)) * 0.1
-    )
-    return (
+    # The blend consumes the ROUNDED ratio columns (the same values the
+    # output exposes), so the exact-hash oracle can reproduce the score
+    # bit-for-bit — blending unrounded intermediates diverges in the 6th
+    # decimal whenever rounding moves a ratio across a ulp boundary.
+    out = (
         docs.withColumn("n_toks", n_toks)
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn("stop_ratio", F.round(stop_ratio, 6))
         .withColumn("mean_word_len", F.round(mean_len, 6))
-        .withColumn("quality", F.round(score, 6))
     )
+    score = (
+        F.least(F.col("n_toks").cast("double") / 50, F.lit(1.0)) * 0.4
+        + F.least(F.col("stop_ratio") * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(F.col("punct_ratio") * 10, F.lit(1.0))) * 0.2
+        + F.least(F.col("mean_word_len") / 8, F.lit(1.0)) * 0.1
+    )
+    return out.withColumn("quality", F.round(score, 6))
 
 
 def lang_id(docs: DataFrame, text: str = "text") -> DataFrame:

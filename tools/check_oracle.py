@@ -54,9 +54,12 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> bool:
     for c in a.columns:
         ca, cb = a[c], b[c]
         if pd.api.types.is_float_dtype(ca) or pd.api.types.is_float_dtype(cb):
-            same = np.allclose(
-                ca.astype(float), cb.astype(float), rtol=1e-6, atol=1e-6, equal_nan=True
-            )
+            # Exact after round-6 — the driver hashes values, it does not
+            # tolerance-compare, so anything looser than this lets a local
+            # PASS hide a driver hash FAIL (VERDICT r01: quality_scores).
+            fa = np.round(ca.astype(float), 6)
+            fb = np.round(cb.astype(float), 6)
+            same = ((fa == fb) | (np.isnan(fa) & np.isnan(fb))).all()
         else:
             same = (ca.astype(str) == cb.astype(str)).all()
         if not same:
