@@ -39,6 +39,9 @@ BASE_EPOCH_US = 1_655_906_400_000_000  # 2022-06-22 14:00:00 UTC
 
 _TEMPLATES = [
     # (template text with <*> params, severity or None, description)
+    # Template texts are the post-wash (split_token_apart-applied,
+    # preprocess_base.py:807-826) masked forms — e.g. the socket trace
+    # carries ':: ' because P5 splits 'CControlSocket::SendNextCommand'.
     ("Command: RETR <*>", None, "file retrieve"),
     ("Command: STOR <*>", None, "file store"),
     ("Response: <*> Login successful", "notice", "login ok"),
@@ -46,9 +49,18 @@ _TEMPLATES = [
     ("Trace: Session time <*> elapsed", None, "session time"),
     ("Status: Disconnected from server", "warning", "disconnect"),
     ("Error: GnuTLS error <*> in gnutls_record_recv", "fatal", "tls error"),
-    ("Trace: CControlSocket::SendNextCommand()", None, "socket trace"),
+    ("Trace: CControlSocket:: SendNextCommand()", None, "socket trace"),
     ("Response: <*> File not found", "error", "missing file"),
     ("Trace: Doing ECDH key exchange with curve <*>", None, "key exchange"),
+    # P5/P6 wash-fidelity shapes (round 2): split-token and normalized
+    # response-status lines (ftp/patterns.py:46-79).
+    ("Status: Timezone offset= <*> seconds", None, "tz offset"),
+    ("Trace: Verifying certificate ( depth <*> )", None, "cert verify"),
+    ("Response: <*> System status, or system help", None, "rsp 211"),
+    ("Response: <*> File status", None, "rsp 213"),
+    ("Response: <*> FTP server is ready", None, "rsp 220"),
+    ("Response: <*> Service not available, closing connection",
+     "warning", "rsp 421"),
 ]
 
 _RE_ESCAPE = set("[](){}.*+?^$|\\")
@@ -174,42 +186,119 @@ def _hms(dialect: str, s: str) -> str:
     )
 
 
-def _content_expr(dialect: str) -> str:
-    """The washed log content per (doc_id, line_no) — the CASE over shapes.
+def _shapes(dialect: str) -> list[tuple[str, str, str | None, bool]]:
+    """(condition, washed-content expr, pre-wash rawc expr or None, is_rm)
+    per line shape. ``rawc`` is what the physical line carries BEFORE the
+    wash stage; None means rawc == content (nothing for wash to fix).
+    One shared table drives all three generated CASEs, so the Spark and
+    DuckDB derivations cannot drift.
 
-    Skewed shape frequencies (r1 % 100): 0-34 RETR, 35-54 STOR, 55-64 login,
-    65-74 connect, 75-79 session-time, 80-84 disconnect, 85-88 tls-error,
-    89-92 socket-trace, 93-96 file-missing, 97-99 key-exchange; overridden
-    by the out-of-library shape when r1 % 97 == 0 (~1 %).
+    Skewed frequencies (r1 % 100); the out-of-library shape overrides at
+    r1 % 97 == 0 (~1 %). Shapes at p ≥ 75 exercise wash fidelity:
+      sock/tz/cert — P5 split tokens ('::', '=', parens)
+      rsp*         — P6 response-status normalization (raw 211/213/220/421
+                     variants all collapse to the canonical text)
+      rm_*         — P4 PTN_LINE_RM removal (asterisk banner, BCM boot
+                     line, ===== separator, Type 'help' banner)
     """
     hms2 = _hms(dialect, "(r2 % 86400)")
-    return f"""
-      CASE
-        WHEN r1 % 97 = 0 THEN 'Trace: Widget state change to ' || cast(r2 % 50 as varchar)
-        WHEN r1 % 100 < 35 THEN 'Command: RETR file_' || cast(r2 % 300 as varchar) || '.dat'
-        WHEN r1 % 100 < 55 THEN 'Command: STOR file_' || cast(r2 % 300 as varchar) || '.dat'
-        WHEN r1 % 100 < 65 THEN 'Response: 230 Login successful'
-        WHEN r1 % 100 < 75 THEN 'Trace: Connecting to 10.' || cast(r2 % 200 as varchar)
-             || '.0.' || cast(r2 % 250 as varchar) || ' port ' || cast(2100 + r2 % 40 as varchar)
-        WHEN r1 % 100 < 80 THEN 'Trace: Session time ' || {hms2} || ' elapsed'
-        WHEN r1 % 100 < 85 THEN 'Status: Disconnected from server'
-        WHEN r1 % 100 < 89 THEN 'Error: GnuTLS error -' || cast(10 + r2 % 20 as varchar)
-             || ' in gnutls_record_recv'
-        WHEN r1 % 100 < 93 THEN 'Trace: CControlSocket::SendNextCommand()'
-        WHEN r1 % 100 < 97 THEN 'Response: 550 File not found'
-        ELSE 'Trace: Doing ECDH key exchange with curve curve' || cast(25519 + r2 % 7 as varchar)
-      END
-    """
+    n211 = "Response: 211 System status, or system help"
+    n213 = "Response: 213 File status"
+    n220 = "Response: 220 FTP server is ready"
+    n421 = "Response: 421 Service not available, closing connection"
+    return [
+        ("r1 % 97 = 0",
+         "'Trace: Widget state change to ' || cast(r2 % 50 as varchar)",
+         None, False),
+        ("r1 % 100 < 30",
+         "'Command: RETR file_' || cast(r2 % 300 as varchar) || '.dat'",
+         None, False),
+        ("r1 % 100 < 45",
+         "'Command: STOR file_' || cast(r2 % 300 as varchar) || '.dat'",
+         None, False),
+        ("r1 % 100 < 53", "'Response: 230 Login successful'", None, False),
+        ("r1 % 100 < 61",
+         "'Trace: Connecting to 10.' || cast(r2 % 200 as varchar)"
+         " || '.0.' || cast(r2 % 250 as varchar)"
+         " || ' port ' || cast(2100 + r2 % 40 as varchar)",
+         None, False),
+        ("r1 % 100 < 66", f"'Trace: Session time ' || {hms2} || ' elapsed'",
+         None, False),
+        ("r1 % 100 < 70", "'Status: Disconnected from server'", None, False),
+        ("r1 % 100 < 74",
+         "'Error: GnuTLS error -' || cast(10 + r2 % 20 as varchar)"
+         " || ' in gnutls_record_recv'",
+         None, False),
+        # P5 ':::' split — raw carries the unsplit token
+        ("r1 % 100 < 78", "'Trace: CControlSocket:: SendNextCommand()'",
+         "'Trace: CControlSocket::SendNextCommand()'", False),
+        ("r1 % 100 < 82", "'Response: 550 File not found'", None, False),
+        ("r1 % 100 < 85",
+         "'Trace: Doing ECDH key exchange with curve curve'"
+         " || cast(25519 + r2 % 7 as varchar)",
+         None, False),
+        # P5 '=' split
+        ("r1 % 100 < 88",
+         "'Status: Timezone offset= ' || cast(r2 % 7200 as varchar) || ' seconds'",
+         "'Status: Timezone offset=' || cast(r2 % 7200 as varchar) || ' seconds'",
+         False),
+        # P5 paren split (both sides)
+        ("r1 % 100 < 91",
+         "'Trace: Verifying certificate ( depth ' || cast(r2 % 4 as varchar) || ' )'",
+         "'Trace: Verifying certificate (depth ' || cast(r2 % 4 as varchar) || ')'",
+         False),
+        # P6 response-status normalization (raw variants → canonical)
+        ("r1 % 100 < 92", f"'{n211}'",
+         "'Response: 211-Status of connection ' || cast(r2 % 50 as varchar)",
+         False),
+        ("r1 % 100 < 93", f"'{n213}'",
+         "'Response: 213 ' || cast(20220622000000 + r2 as varchar)", False),
+        ("r1 % 100 < 94", f"'{n220}'",
+         "'Response: 220-FileZilla Server 1.' || cast(r2 % 10 as varchar)",
+         False),
+        ("r1 % 100 < 95", f"'{n421}'",
+         "'Response: 421 Timeout - try again later'", False),
+        # P4 removable lines (PTN_LINE_RM: extensions/cm/patterns.py:79-103)
+        ("r1 % 100 < 96", "repeat('*', 8 + r2 % 20)", None, True),
+        ("r1 % 100 < 97",
+         "'BCM3390' || cast(r2 % 100 as varchar) || ' Bootloader version 2.5.0'",
+         None, True),
+        ("r1 % 100 < 98", "repeat('=', 18 + r2 % 8)", None, True),
+        ("r1 % 100 < 99",
+         "'Type ''help'' or ''license'' for more information.'", None, True),
+        ("1 = 1",
+         "'Trace: Doing ECDH key exchange with curve curve'"
+         " || cast(25519 + r2 % 7 as varchar)",
+         None, False),
+    ]
+
+
+def _shape_case(dialect: str, which: str) -> str:
+    """CASE expression for 'content', 'rawc', or 'is_rm'."""
+    arms = []
+    for cond, content, rawc, is_rm in _shapes(dialect):
+        if which == "content":
+            val = content
+        elif which == "rawc":
+            val = rawc if rawc is not None else content
+        else:
+            val = "1" if is_rm else "0"
+        arms.append(f"WHEN {cond} THEN {val}")
+    return "CASE\n        " + "\n        ".join(arms) + "\n      END"
 
 
 def raw_lines_sql(dialect: str, docs_from: str, n_docs_cap: int | None = None) -> str:
     """SELECT producing the synthetic corpus, one row per raw log line.
 
     Columns: doc_id, url, warc_ts, lang, line_no, raw, content, is_abn,
-    is_seg. ``raw`` is the full physical line (timestamp + labels + pid +
-    sid + content) exactly as the reference's preprocess stage would see it
-    (format per extensions/ftp/patterns.py:19-30); ``content`` is the
-    ground-truth washed content the wash operators must recover.
+    is_seg, is_rm. ``raw`` is the full physical line (timestamp + labels +
+    pid + sid + pre-wash content) exactly as the reference's preprocess
+    stage would see it (format per extensions/ftp/patterns.py:19-30);
+    ``content`` is the ground-truth washed content the wash operators must
+    recover (post split/normalize); ``is_rm`` marks lines the wash stage
+    must REMOVE (PTN_LINE_RM) — truth-side consumers of washed output
+    filter ``is_rm = 0``. Removed-line shapes carry no pid/sid or labels
+    (mirroring the cm log format the removal patterns come from).
 
     ``dialect`` in {'spark', 'duckdb'}; ``docs_from`` is the relation
     providing (doc_id, lang).
@@ -236,12 +325,18 @@ def raw_lines_sql(dialect: str, docs_from: str, n_docs_cap: int | None = None) -
              (doc_id * 16807 + line_no * 69621) % 100000 AS r2
       {from_clause} {cap}
     ),
-    _lines AS (
+    _shaped AS (
       SELECT doc_id, lang, line_no, r1, r2,
-             {_content_expr(dialect)} AS content,
-             CASE WHEN r1 % 17 = 0 THEN 1 ELSE 0 END AS is_abn,
-             CASE WHEN r1 % 41 = 0 THEN 1 ELSE 0 END AS is_seg
+             {_shape_case(dialect, 'content')} AS content,
+             {_shape_case(dialect, 'rawc')} AS rawc,
+             {_shape_case(dialect, 'is_rm')} AS is_rm
       FROM _base
+    ),
+    _lines AS (
+      SELECT doc_id, lang, line_no, r1, r2, content, rawc, is_rm,
+             CASE WHEN is_rm = 0 AND r1 % 17 = 0 THEN 1 ELSE 0 END AS is_abn,
+             CASE WHEN is_rm = 0 AND r1 % 41 = 0 THEN 1 ELSE 0 END AS is_seg
+      FROM _shaped
     )
     SELECT doc_id,
            'https://site' || lpad(cast(doc_id % 100 as varchar), 4, '0')
@@ -251,10 +346,11 @@ def raw_lines_sql(dialect: str, docs_from: str, n_docs_cap: int | None = None) -
            {ts_str} || ' '
              || CASE WHEN is_abn = 1 THEN 'abn: ' ELSE '' END
              || CASE WHEN is_seg = 1 THEN 'segsign: ' ELSE '' END
-             || cast(10000 + r2 % 90 as varchar) || ' '
-             || cast(1 + r2 % 9 as varchar) || ' '
-             || content AS raw,
-           content, is_abn, is_seg
+             || CASE WHEN is_rm = 1 THEN ''
+                     ELSE cast(10000 + r2 % 90 as varchar) || ' '
+                          || cast(1 + r2 % 9 as varchar) || ' ' END
+             || rawc AS raw,
+           content, is_abn, is_seg, is_rm
     FROM _lines
     """
     # 'varchar' is written throughout; Spark's parser wants 'string'.
@@ -330,6 +426,98 @@ def gen_raw_lines(spark: SparkSession, n_docs: int, partitions: int | None = Non
 
 
 # ---------------------------------------------------------------------------
+# cm-tier corpus (P12/P7 cm masking classes: SNMP OID, IPv6, MAC,
+# filename/channel/dcid/status — extensions/cm/patterns.py:299-350)
+# ---------------------------------------------------------------------------
+
+# (content expr template, constant masked truth). Every variable part is
+# swallowed by a mask class, so the truth is a literal — drift between
+# the generator and the reference chain is impossible to hide:
+# tests/test_mask_cm.py re-derives each truth by running the REFERENCE
+# cm patterns over the generated content.
+_CM_SHAPES: list[tuple[str, str]] = [
+    ("'Mib: 1.3.6.1.2.1.69.1.5.8.' || cast(r2 % 20 as varchar) || "
+     "'.2 status ' || cast(r2 % 5 as varchar)",
+     "Mib: <*> status  <*>"),
+    ("'CM HW addr: 00:1a:2b:3c:4d:' || lpad(cast(r2 % 100 as varchar), 2, '0')"
+     " || ' rx 0x' || cast(r2 % 1000 as varchar)",
+     "CM HW addr: <*> rx  <*>"),
+    ("'Boot  Filename: CM_APP_3390_' || cast(r2 % 50 as varchar) || '.bin done'",
+     "Boot  Filename: <*> done"),
+    ("'Downstream CH' || cast(30 + r2 % 10 as varchar)"
+     " || ' scanning, downstream QAM lock failure'",
+     "Downstream <*> scanning, downstream <*>"),
+    ("'US profile priDcid= [ ' || cast(r2 % 200 as varchar) || ' ' || "
+     "cast(r2 % 30 as varchar) || ' ] Stat= Continue'",
+     "US profile priDcid= <*> Stat= <*>"),
+    ("'T3 timeout ( ErrorRecovery ) retry ' || cast(r2 % 8 as varchar)",
+     "T3 timeout ( <*> ) retry  <*>"),
+    ("'qam ' || CASE WHEN r2 % 2 = 0 THEN 'y' ELSE 'n' END || ' fec ' || "
+     "CASE WHEN r2 % 3 = 0 THEN 'n' ELSE 'y' END || ' snr ' || "
+     "cast(20 + r2 % 15 as varchar) || ' txdata ' || "
+     "CASE WHEN r2 % 5 = 0 THEN 'y' ELSE 'n' END",
+     "qam <*> fec <*> snr  <*> txdata <*>"),
+    ("'tftp fallback 2001:db8:0:1:2:3:4:' || cast(r2 % 10 as varchar)"
+     " || ' attempt ' || cast(r2 % 5 as varchar)",
+     "tftp fallback <*> attempt  <*>"),
+]
+
+
+def cm_lines_sql(dialect: str, docs_from: str) -> str:
+    """cm-flavored corpus: (doc_id, line_no, content, masked_truth).
+
+    Same dual-dialect LCG scheme as raw_lines_sql; content carries the
+    cm masking classes, masked_truth is the reference-chain result.
+    """
+    n_lines = "(2 + doc_id % 3)"
+    if dialect == "spark":
+        from_clause = (
+            f"FROM {docs_from} LATERAL VIEW "
+            f"explode(sequence(0, {n_lines} - 1)) _t AS line_no"
+        )
+    else:
+        from_clause = (
+            f"FROM {docs_from}, "
+            f"unnest(generate_series(0, {n_lines} - 1)) AS _t(line_no)"
+        )
+    content_arms = "\n        ".join(
+        f"WHEN r1 % 8 = {i} THEN {expr}"
+        for i, (expr, _t) in enumerate(_CM_SHAPES[:-1])
+    )
+    truth_arms = "\n        ".join(
+        f"WHEN r1 % 8 = {i} THEN '{t}'"
+        for i, (_e, t) in enumerate(_CM_SHAPES[:-1])
+    )
+    last_expr, last_truth = _CM_SHAPES[-1]
+    sql = f"""
+    WITH _cmbase AS (
+      SELECT doc_id, line_no,
+             (doc_id * 69621 + line_no * 48271) % 100000 AS r1,
+             (doc_id * 12923 + line_no * 16807) % 100000 AS r2
+      {from_clause}
+    )
+    SELECT doc_id, line_no,
+      CASE
+        {content_arms}
+        ELSE {last_expr}
+      END AS content,
+      CASE
+        {truth_arms}
+        ELSE '{last_truth}'
+      END AS masked_truth
+    FROM _cmbase
+    """
+    return sql.replace(" as varchar", " as string") if dialect == "spark" else sql
+
+
+def cm_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).createOrReplaceTempView("__cm_docs")
+    return spark.sql(cm_lines_sql("spark", "__cm_docs"))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB-side dimension literals (for oracle SQL)
 # ---------------------------------------------------------------------------
 
@@ -355,3 +543,10 @@ def duckdb_kb_values() -> str:
         f"('{r[0]}', '{r[1]}', '{_sqlq(r[2])}')" for r in kb_rows()
     )
     return f"(VALUES\n      {rows}\n    ) AS k(event_id, severity, descpt)"
+
+
+def duckdb_classes_values() -> str:
+    rows = ",\n      ".join(
+        f"('{c}', '{_sqlq(d)}')" for c, d in CLASS_ROWS
+    )
+    return f"(VALUES\n      {rows}\n    ) AS c(class_id, class_descpt)"

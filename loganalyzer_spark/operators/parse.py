@@ -6,13 +6,20 @@ Catalyst whole-stage-codegen fuses back into one pass:
 
   P1  timestamp match/strip        (preprocess_base.py:272-309)
   P2  console/pid/sid cleanup      (extensions/ftp/preprocess.py:47-49)
+  P6  response-status normalize    (extensions/ftp/preprocess.py:30-37)
+  P4  line removal (PTN_LINE_RM)   (extensions/cm/preprocess.py:76-82)
   P3  empty-line removal           (preprocess_base.py:344-370)
+  P5  token splitting              (preprocess_base.py:376, :807-826)
   P9  'abn: ' label extraction     (preprocess_base.py:508-552)
   P10 'segsign: ' segmentation     (preprocess_base.py:684-731)
   P7  hard-parameter masking       (drain.py:880-887) — pandas UDF running
       the reference's own Python ``re`` patterns, because Java regex and
       Python re disagree on corner cases; this is the byte-identical
       per-url invariant surface.
+
+Stage order matches the reference main loop (preprocess_base.py:217-407):
+strip ts → domain line process (clean chars, response normalize, line
+removal marking) → empty-line purge → token splitting.
 
 Labels are extracted *before* filtering, so the reference's
 label-handover machinery (preprocess_base.py:101-113) is unnecessary.
@@ -32,6 +39,39 @@ _TS_ANCHOR = "^" + P.SQL_STD_TS
 # pid/sid cleanup — Java regex supports lookahead; IGNORECASE flag as (?i)
 # to match the reference's re.IGNORECASE (ftp/patterns.py:33-40).
 _CLEAN_CHAR = r"(?i)\d+ \d (?=[A-Z][a-z]+: )"
+# P4 line removal: the reference uses ``.match`` (anchored at 0); the
+# Python-re alternation is Java-compatible verbatim, so share the text.
+_LINE_RM_ANCHOR = "^(?:" + P.PTN_LINE_RM.pattern + ")"
+
+
+def _split_tokens_expr(col) -> Column:
+    """P5 Java fast path: the reference's split_token_apart degenerates
+    to a global sub because every pattern matches constant literal text
+    (see patterns.split_tokens); Java regexp_replace chain with the
+    same lookarounds, byte-identity proven in tests/test_wash_fidelity.
+    Order: left patterns in list order, then right (preprocess_base.py
+    :807-826)."""
+    e = F.regexp_replace(col, r"=(?=[^= \r\n])", "= ")
+    e = F.regexp_replace(e, r"\:\:(?=[a-zA-Z_]{3,})", ":: ")
+    e = F.regexp_replace(e, r"\((?=(\w|[-+]))", "( ")
+    e = F.regexp_replace(e, r"(?<=\w)\)", " )")
+    return e
+
+
+def _normalize_response_expr(col) -> Column:
+    """P6: first anchored match rewrites the whole line (ftp/preprocess
+    .py:30-37); when() chain preserves the reference's first-match-wins
+    break."""
+    e = F.col(col) if isinstance(col, str) else col
+    out = None
+    for ptn, canonical in P.PTN_RSP_STAT:
+        cond = e.rlike("^" + ptn.pattern)
+        out = (
+            F.when(cond, F.lit(canonical))
+            if out is None
+            else out.when(cond, F.lit(canonical))
+        )
+    return out.otherwise(e)
 
 
 def pages_to_lines(pages: DataFrame) -> DataFrame:
@@ -67,9 +107,12 @@ def wash(lines: DataFrame, raw: str = "raw") -> DataFrame:
         .withColumn("is_seg", F.col("_pfx").contains("segsign: ").cast("int"))
         .withColumn("class_label", F.regexp_extract("_pfx", "(c[0-9]{3} )$", 1))
         .withColumn("_stripped", F.expr(f"substring({raw}, length(_pfx) + 1)"))
-        .withColumn("content", F.regexp_replace("_stripped", _CLEAN_CHAR, ""))
-        .drop("_pfx", "_stripped")
-        .filter(~F.col("content").rlike("^[ \t]*$"))  # P3 empty-line purge
+        .withColumn("_cleaned", F.regexp_replace("_stripped", _CLEAN_CHAR, ""))
+        .withColumn("_normed", _normalize_response_expr("_cleaned"))  # P6
+        .filter(~F.col("_normed").rlike(_LINE_RM_ANCHOR))  # P4 line removal
+        .filter(~F.col("_normed").rlike("^[ \t]*$"))  # P3 empty-line purge
+        .withColumn("content", _split_tokens_expr(F.col("_normed")))  # P5
+        .drop("_pfx", "_stripped", "_cleaned", "_normed")
     )
 
 
@@ -84,6 +127,23 @@ def mask_params_udf(content: pd.Series) -> pd.Series:
     for ptn, repl in P.PTN_HARD_PARA:
         s = s.str.replace(ptn, repl, regex=True)
     return s
+
+
+@F.pandas_udf(T.StringType())
+def mask_params_cm_udf(content: pd.Series) -> pd.Series:
+    """P7/P12 cm tier: the cable-modem extension's ordered chain
+    (extensions/cm/patterns.py:341-352 applied like drain.py:880-887),
+    vectorized over Arrow batches. Pandas-UDF only — the reference's
+    IPv6 pattern uses `{,n}` quantifiers Java regex treats as literal
+    text, so there is deliberately no JVM rewrite of this tier."""
+    s = content
+    for ptn, repl in P.PTN_HARD_PARA_CM:
+        s = s.str.replace(ptn, repl, regex=True)
+    return s
+
+
+def mask_cm(lines: DataFrame, content: str = "content") -> DataFrame:
+    return lines.withColumn("masked", mask_params_cm_udf(F.col(content)))
 
 
 def masked_sql_expr(col: str) -> Column:

@@ -80,9 +80,11 @@ def hyperplane_sign_bits(vec: str, planes: list[list[float]]) -> F.Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        term = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         bits = term if bits is None else bits + term
-    return bits.cast("int")
+    return bits.cast("long")
 
 
 def lsh_planes(dim: int, nbits: int = 8) -> list[list[float]]:
@@ -159,6 +161,7 @@ def kmeans_centroids(
     iters: int = 10,
     sample_rows: int = 20_000,
     vec: str = "embedding",
+    key: str = "vec_id",
     seed: int = 42,
 ) -> np.ndarray:
     """Driver-side deterministic k-means on a bounded sample.
@@ -166,9 +169,14 @@ def kmeans_centroids(
     The codebook is tiny (k × dim floats) and is broadcast for
     assignment; training cost is bounded by ``sample_rows`` regardless
     of corpus size — the standard IVF recipe (train on a sample,
-    assign everything).
+    assign everything). The sample is ``orderBy(key).limit(n)`` —
+    a bare ``limit`` is nondeterministic across partitionings, which
+    would make the codebook (and recall/cell skew) irreproducible.
+    At cluster scale prefer a key-range/hash-bucket predicate over the
+    global sort; at sample_rows ≤ 20k the TakeOrderedAndProject is
+    cheap (no full sort materializes).
     """
-    pdf = emb.select(vec).limit(sample_rows).toPandas()
+    pdf = emb.select(key, vec).orderBy(key).limit(sample_rows).toPandas()
     X = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

@@ -81,6 +81,81 @@ PTN_SPLIT_LEFT = [
 ]
 PTN_SPLIT_RIGHT = [re.compile(r"(?<=\w)\)")]
 
+
+def split_tokens(line: str) -> str:
+    """P5 — reference ``split_token_apart`` semantics
+    (preprocess_base.py:807-826, called from :376): for each pattern,
+    if it occurs, every occurrence is replaced by the FIRST match's
+    text plus a space (left list) / a space plus the match (right
+    list). All four patterns match constant literal text ('=', '::',
+    '(', ')') under zero-width lookarounds, so this degenerates to a
+    global sub — which is what the JVM fast path in
+    ``operators/parse.py`` exploits.
+    """
+    for ptn in PTN_SPLIT_LEFT:
+        m = ptn.search(line)
+        if m:
+            line = ptn.sub(m.group(0) + " ", line)
+    for ptn in PTN_SPLIT_RIGHT:
+        m = ptn.search(line)
+        if m:
+            line = ptn.sub(" " + m.group(0), line)
+    return line
+
+
+# ftp/patterns.py:46-59 — response-status normalization (P6). Anchored
+# ``.match`` in the reference (ftp/preprocess.py:30-37): first matching
+# pattern replaces the WHOLE line with its canonical text. The
+# reference's replacement strings carry a trailing '\n' because its
+# lines do; our line model strips newlines at posexplode, so the
+# canonical strings here are newline-free (byte-identical otherwise).
+PTN_RSP_STAT: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"Response: 211[ \-]"),
+     "Response: 211 System status, or system help"),
+    (re.compile(r"Response: 213 "), "Response: 213 File status"),
+    (re.compile(r"Response: 220[ \-]"), "Response: 220 FTP server is ready"),
+    (re.compile(r"Response: 421 "),
+     "Response: 421 Service not available, closing connection"),
+]
+
+
+def normalize_response(line: str) -> str:
+    """P6 reference loop (extensions/ftp/preprocess.py:30-37)."""
+    for ptn, canonical in PTN_RSP_STAT:
+        if ptn.match(line):
+            return canonical
+    return line
+
+
+# cm/patterns.py:79-103 — P4 line removal: drop any line whose (washed)
+# content starts with one of these shapes (``.match`` ⇒ anchored). The
+# alternation is reproduced verbatim — it is data, like the masking
+# patterns (SURVEY §4.4); applied at cm/preprocess.py:76-82.
+PTN_LINE_RM = re.compile(
+    r"\*+$|BCM3390\d+|RAM Windows size \d+ mb|"
+    r"\+{10}|\+-{5}|"
+    r"BCM339[0-9]+[a-zA-Z]*[0-9] Bootloader version|"
+    r"RCC->|"
+    r"TCC->|"
+    r"\d+\*|"
+    r"Readback Test pkt\:|"
+    r"DHCPc\:  Timed out waiting for offers for lease|"
+    r"fUsSetsState = |"
+    r"( {7}munged error type: T=)|"
+    r"( {5}munged error type =)|"
+    r"( {5}partial svc dcid\(s\): T=)|"
+    r"Type \'help\' or|"
+    r" {24}dsid: | {24}DSID: | {24}CMIM: |"
+    r"={18}|"
+    r"Suboption \d:|"
+    r"eptAsyncCmd: Ept not initialized|"
+    r"\([a-zA-Z0-9]+\)|"
+    r"<<<<<<<<<<<<< rpc_dump_msg |"
+    r"msg 0x|"
+    r"Len: \d+ |"
+    r"( {2}([0-9a-f]{2} ){1,4}){1,4} {1,52}\| "
+)
+
 # ftp/patterns.py:128-136 — special tokens that must match exactly between
 # a log and a candidate template (anti-over-parsing guard in seq_dist,
 # drain.py:430-446)
@@ -94,6 +169,95 @@ PTN_SPEC_TOKEN = [
 def mask_params(line: str) -> str:
     """Reference masking semantics: ordered re.sub chain (drain.py:880-887)."""
     for ptn, repl in PTN_HARD_PARA:
+        line = ptn.sub(repl, line)
+    return line
+
+
+# ---------------------------------------------------------------------------
+# cm masking tier (P12/P7): the cable-modem extension's hard-parameter
+# chain — SNMP OID, IPv6, filename/channel/dcid/status classes
+# (analyzer/extensions/cm/patterns.py:299-350, applied like the ftp tier
+# at drain.py:880-887). Pattern texts reproduced verbatim — they are
+# data (SURVEY §4.4); this tier runs ONLY on the pandas-UDF fidelity
+# path: the reference IPv6 regex uses `{,2}`-style quantifiers that Java
+# regex silently treats as literals, so a JVM rewrite would diverge.
+# ---------------------------------------------------------------------------
+
+# misc_regex.py:23-26 — SNMP MIB OID
+PTN_SNMP_MIB = re.compile(r"([0-9]+\.){4,20}[0-9]+")
+
+# misc_regex.py:36-66 — IPv6 (verbatim, incl. the reference's literal
+# '\\.' quirk inherited from the gist it cites)
+PTN_IP_V6 = re.compile(
+    r" (?:(?:[0-9A-Fa-f]{1,4}:){6}(?:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}"
+    r"|(?:(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\.){3}(?:[0-9]"
+    r"|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5]))"
+    r"|::(?:[0-9A-Fa-f]{1,4}:){5}(?:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}"
+    r"|(?:(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\.){3}(?:[0-9]"
+    r"|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5]))"
+    r"|(?:[0-9A-Fa-f]{1,4})?::(?:[0-9A-Fa-f]{1,4}:){4}"
+    r"(?:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}|(?:(?:[0-9]|[1-9][0-9]|1[0-9]{2}"
+    r"|2[0-4][0-9]|25[0-5])\\.){3}(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]"
+    r"|25[0-5]))|(?:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4})?::(?:[0-9A-Fa-f]"
+    r"{1,4}:){3}(?:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}|(?:(?:[0-9]|[1-9][0-9]"
+    r"|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\.){3}(?:[0-9]|[1-9][0-9]|1[0-9]{2}"
+    r"|2[0-4][0-9]|25[0-5]))|(?:(?:[0-9A-Fa-f]{1,4}:){,2}[0-9A-Fa-f]"
+    r"{1,4})?::(?:[0-9A-Fa-f]{1,4}:){2}(?:[0-9A-Fa-f]{1,4}:[0-9A-Fa-f]{1,4}"
+    r"|(?:(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\.){3}(?:[0-9]"
+    r"|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5]))|(?:(?:[0-9A-Fa-f]{1,4}:)"
+    r"{,3}[0-9A-Fa-f]{1,4})?::[0-9A-Fa-f]{1,4}:(?:[0-9A-Fa-f]{1,4}:"
+    r"[0-9A-Fa-f]{1,4}|(?:(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]"
+    r"|25[0-5])\\.){3}(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5]))"
+    r"|(?:(?:[0-9A-Fa-f]{1,4}:){,4}[0-9A-Fa-f]{1,4})?::(?:[0-9A-Fa-f]"
+    r"{1,4}:[0-9A-Fa-f]{1,4}|(?:(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]"
+    r"|25[0-5])\\.){3}(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5]))"
+    r"|(?:(?:[0-9A-Fa-f]{1,4}:){,5}[0-9A-Fa-f]{1,4})?::[0-9A-Fa-f]{1,4}"
+    r"|(?:(?:[0-9A-Fa-f]{1,4}:){,6}[0-9A-Fa-f]{1,4})?::)(/\d{1,3})?"
+)
+
+# cm/patterns.py:305-339 — the cm-specific parameter classes
+PTN_CM_P5 = re.compile(
+    r"(?<= Filename: )\S+|"
+    r"C[hH]\d{2}|"
+    r"(?<= )((QAM|FEC) lock failure)|"
+    r"(?<=([Dd]cid= )|(prof= ))\[[^\]]*\]|"
+    r"(?<= )(([01]\d|2[0-3]):([0-5]\d):([0-5]\d)|24:00:00)(?= |$)"
+)
+PTN_CM_P6 = re.compile(
+    r"(?<=value=)(( [a-f0-9]{2}){6,14})"
+    r"|(?<=HEX:)([A-F0-9]{2} )+"
+    r"|( \( \d+\.?(\d+)?-\d+\.?(\d+)? \))+|( \d+){2,}|0x[A-Fa-f0-9]+"
+    r"|(?<=[^A-Za-z0-9\.])(\-?\+?\d+\.?(\d+)?\*?)|(?<=\.\.)(\d+)"
+)
+PTN_CM_P7 = re.compile(
+    r"\( k[A-Z]\w+ \)|\( [du]cid \)|\( ErrorRecovery \)"
+    r"|\( ConsoleCmdOverride \)|\( T4NoStationMaintTimeout \)"
+    r"|\( T2NoInitMaintTimeout \)|\( not specified \)"
+    r"|\( no action \)|\( bcast or ucast \)"
+)
+PTN_CM_P8 = re.compile(r"Stat= (Continue|Success|Abort)")
+PTN_CM_P9 = re.compile(r"qam [yn] fec [yn] snr")
+PTN_CM_P10 = re.compile(r"txdata [yn]")
+
+# cm/patterns.py:341-352 — dict order preserved (masking order matters)
+PTN_HARD_PARA_CM: list[tuple[re.Pattern, str]] = [
+    (PTN_LIBC_CTIME, "<*>"),
+    (PTN_SNMP_MIB, "<*>"),
+    (PTN_IP_V4, "<*>"),
+    (PTN_IP_V6, " <*>"),
+    (PTN_MAC_ADDR, "<*>"),
+    (PTN_CM_P5, "<*>"),
+    (PTN_CM_P6, " <*>"),
+    (PTN_CM_P7, "( <*> )"),
+    (PTN_CM_P8, "Stat= <*>"),
+    (PTN_CM_P9, "qam <*> fec <*> snr"),
+    (PTN_CM_P10, "txdata <*>"),
+]
+
+
+def mask_params_cm(line: str) -> str:
+    """cm-tier masking: ordered re.sub chain, like mask_params()."""
+    for ptn, repl in PTN_HARD_PARA_CM:
         line = ptn.sub(repl, line)
     return line
 

@@ -75,6 +75,7 @@ _masked AS (
   SELECT doc_id, url, warc_ts, lang, line_no, raw, content, is_abn, is_seg,
          {duckdb_mask_expr('content')} AS masked
   FROM _lines
+  WHERE is_rm = 0
 ),
 _matched AS (
   SELECT m.doc_id, m.url, m.warc_ts, m.lang, m.line_no, m.raw, m.content,
@@ -113,7 +114,8 @@ _routed AS (
 
 @register(
     "parse_wash",
-    _pipe_cte() + "SELECT doc_id, line_no, content, is_abn, is_seg FROM _lines",
+    _pipe_cte()
+    + "SELECT doc_id, line_no, content, is_abn, is_seg FROM _lines WHERE is_rm = 0",
 )
 def parse_wash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2/P9/P10 wash: recover content + labels from raw physical lines.
@@ -132,6 +134,22 @@ def parse_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 hard-parameter masking (byte-identity surface)."""
     lines = P.mask(P.wash(datagen.raw_lines(spark, sf_dir).drop("content", "is_abn", "is_seg")))
     return lines.select("doc_id", "line_no", "masked")
+
+
+@register(
+    "parse_mask_cm",
+    "WITH _cm AS (" + datagen.cm_lines_sql("duckdb", "documents")
+    + ") SELECT doc_id, line_no, masked_truth AS masked FROM _cm",
+)
+def parse_mask_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P12 cm masking tier (SNMP OID, IPv6, MAC, filename/channel/
+    dcid/status classes — extensions/cm/patterns.py:299-350) over a
+    cm-flavored corpus. The Spark side runs the real pandas-UDF chain
+    on the unmasked content; the oracle returns the generator's
+    constant per-shape truth, which tests/test_mask_cm.py proves equal
+    to the REFERENCE chain's output."""
+    lines = datagen.cm_lines(spark, sf_dir).drop("masked_truth")
+    return P.mask_cm(lines).select("doc_id", "line_no", "masked")
 
 
 @register(
@@ -221,7 +239,7 @@ def params_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(sum(is_seg) OVER (PARTITION BY doc_id ORDER BY line_no
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS session_id
-        FROM _lines""",
+        FROM _lines WHERE is_rm = 0""",
 )
 def sessionize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: 'segsign: ' boundary flags → running-sum session ids."""
@@ -524,7 +542,7 @@ def _ecm_cte() -> str:
     _ecm_cte()
     + f""",
 _idx AS (
-  SELECT e.sink_class, e.bucket_start, coalesce(v.vocab_idx, 10) AS idx,
+  SELECT e.sink_class, e.bucket_start, coalesce(v.vocab_idx, {datagen.VOCAB_SIZE - 1}) AS idx,
          sum(e.cnt) AS c
   FROM _ecm e LEFT JOIN {__import__('loganalyzer_spark.datagen', fromlist=['duckdb_vocab_values']).duckdb_vocab_values()} USING (event_id)
   GROUP BY 1, 2, 3
@@ -532,7 +550,7 @@ _idx AS (
 _grid AS (SELECT DISTINCT sink_class, bucket_start FROM _idx),
 _cells AS (
   SELECT g.sink_class, g.bucket_start, s.i, coalesce(x.c, 0) AS c
-  FROM _grid g CROSS JOIN generate_series(0, 10) s(i)
+  FROM _grid g CROSS JOIN generate_series(0, {datagen.VOCAB_SIZE - 1}) s(i)
   LEFT JOIN _idx x ON x.sink_class = g.sink_class
        AND x.bucket_start = g.bucket_start AND x.idx = s.i)
 SELECT sink_class, bucket_start,
@@ -998,7 +1016,7 @@ def _score_oracle() -> str:
         + f""",
 _decm AS (SELECT doc_id, event_id, count(*) AS cnt FROM _routed GROUP BY 1, 2),
 _didx AS (
-  SELECT d.doc_id, coalesce(v.vocab_idx, 10) AS idx, sum(d.cnt) AS c
+  SELECT d.doc_id, coalesce(v.vocab_idx, {datagen.VOCAB_SIZE - 1}) AS idx, sum(d.cnt) AS c
   FROM _decm d LEFT JOIN {duckdb_vocab_values()} USING (event_id)
   GROUP BY 1, 2
 ),
@@ -1617,9 +1635,9 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 1 FROM (
         SELECT x.vec_id AS a, y.vec_id AS b
         FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-        WHERE list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+        WHERE round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
               (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
-               sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) >= 0.35
+               sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6) >= 0.35
       ) p WHERE p.b = d.doc_id)
     """,
 )
@@ -1636,11 +1654,102 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dup_components", None)  # iterative — rows-only driver check
 def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup clusters via iterative min-label propagation
-    (connected components over the near-dup pair graph). Correctness
-    pinned by tests/test_operators.py::test_connected_components."""
+    """Exact near-dup clusters via min-label propagation + pointer
+    doubling (connected components over the near-dup pair graph).
+    Correctness pinned by tests/test_operators.py::test_connected_components."""
     from loganalyzer_spark.operators import dedup as DD
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     pairs = DD.embedding_near_dups(emb, threshold=0.35)
     return DD.connected_components(pairs).orderBy("node")
+
+
+def _lsh_near_dup_oracle(dim: int = 64, nbits: int = 32, nbands: int = 4) -> str:
+    """DuckDB rederivation of the banded hyperplane-LSH path itself —
+    same deterministic planes (similarity.lsh_planes), same banding,
+    same rounded-cosine verify — so the oracle checks the SCALE path's
+    output exactly, not merely a brute-force superset of it."""
+    planes = SIM.lsh_planes(dim, nbits)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+            f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        )
+    bits = "\n           + ".join(terms)
+    width = nbits // nbands
+    mask = (1 << width) - 1
+    return f"""
+    WITH _sig AS (
+      SELECT vec_id, embedding,
+             {bits} AS bits
+      FROM embeddings
+    ),
+    _band AS (
+      SELECT vec_id, b, (bits >> (b * {width})) & {mask} AS band_bits
+      FROM _sig, unnest(generate_series(0, {nbands - 1})) AS t(b)
+    ),
+    _cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM _band x JOIN _band y
+        ON x.b = y.b AND x.band_bits = y.band_bits AND x.vec_id < y.vec_id
+    )
+    SELECT c.a, c.b,
+           round(list_dot_product(sa.embedding::DOUBLE[], sb.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(sa.embedding::DOUBLE[], sa.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(sb.embedding::DOUBLE[], sb.embedding::DOUBLE[]))),
+                 6) AS cosine
+    FROM _cand c
+    JOIN _sig sa ON sa.vec_id = c.a
+    JOIN _sig sb ON sb.vec_id = c.b
+    WHERE round(list_dot_product(sa.embedding::DOUBLE[], sb.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(sa.embedding::DOUBLE[], sa.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(sb.embedding::DOUBLE[], sb.embedding::DOUBLE[]))),
+                6) >= 0.35
+    """
+
+
+@register("embedding_near_dups_lsh", _lsh_near_dup_oracle())
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the banded hyperplane-LSH SCALE
+    path (the documented default at 100 TB — candidate generation is a
+    (band_id, band_bits) equi-join, never a cross join; the brute-force
+    all-pairs form above stays as the small-SF recall baseline).
+    Precision is 1.0 by construction (exact rounded-cosine verify);
+    recall vs brute force is pytest-checked."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return DD.embedding_near_dups_lsh(emb, threshold=0.35)
+
+
+@register(
+    "sink_class_report",
+    _pipe_cte()
+    + f"""
+    SELECT r.sink_class, c.class_descpt,
+           count(*) AS n_lines, count(DISTINCT r.doc_id) AS n_docs
+    FROM _routed r JOIN {datagen.duckdb_classes_values()}
+      ON r.sink_class = c.class_id
+    GROUP BY 1, 2
+    """,
+)
+def sink_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: class → description enrichment (loglab.py:755-760 maps each
+    predicted class to its human description when emitting the report)
+    as a broadcast dim join over the routed lines, aggregated per sink."""
+    routed = _routed(spark, sf_dir)
+    cls = datagen.classes_df(spark).withColumnRenamed(
+        "descpt", "class_descpt"
+    )
+    return (
+        routed.join(
+            F.broadcast(cls), routed.sink_class == cls.class_id
+        )
+        .groupBy("sink_class", "class_descpt")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )

@@ -373,6 +373,23 @@ def test_connected_components(spark):
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_long_chain(spark):
+    """A 120-node chain (diameter 119) must converge inside
+    max_iter=20 — only possible with pointer doubling (plain
+    neighbor-min propagation needs ~119 rounds; ADVICE r01 flagged the
+    silent non-convergence)."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "a: long, b: long"
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in DD.connected_components(pairs, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(121)}
+
+
 def test_near_dup_survivors(spark):
     from loganalyzer_spark.operators import dedup as DD
 

@@ -22,7 +22,9 @@ def routed(spark):
 def test_every_row_routed_exactly_once(spark, routed):
     from loganalyzer_spark import datagen
 
-    n_lines = datagen.raw_lines(spark, SF_SMALL).count()
+    lines = datagen.raw_lines(spark, SF_SMALL)
+    n_lines = lines.filter("is_rm = 0").count()  # wash drops PTN_LINE_RM rows
+    assert lines.count() > n_lines  # the corpus exercises P4 removal
     assert routed.count() == n_lines
     assert routed.filter(F.col("sink_class").isNull()).count() == 0
     classes = {r["sink_class"] for r in routed.select("sink_class").distinct().collect()}

@@ -1,0 +1,239 @@
+"""Wash-stage fidelity (P4/P5/P6) against the reference's OWN pattern
+files and loop semantics, loaded read-only from /root/reference.
+
+Covers the round-1 VERDICT gaps:
+  P5 token splitting  — split_token_apart (preprocess_base.py:807-826)
+  P6 response status  — PTN_RSP_STAT loop (ftp/preprocess.py:30-37)
+  P4 line removal     — PTN_LINE_RM (cm/patterns.py:79-103, applied at
+                        cm/preprocess.py:76-82)
+
+Strategy: (1) assert our compiled pattern TEXTS equal the reference's
+(patterns are data, byte-identical by construction); (2) run the
+reference's Python loop semantics as the oracle over both the generated
+corpus and adversarial literals, and assert our JVM fast path produces
+byte-identical output.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+REF = "/root/reference/analyzer"
+
+
+def _load(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_ftp():
+    sys.modules.setdefault("analyzer", types.ModuleType("analyzer"))
+    utils_pkg = types.ModuleType("analyzer.utils")
+    sys.modules.setdefault("analyzer.utils", utils_pkg)
+    misc = _load("analyzer.utils.misc_regex", f"{REF}/utils/misc_regex.py")
+    sys.modules["analyzer.utils"].misc_regex = misc
+    return _load("_ref_ftp_patterns2", f"{REF}/extensions/ftp/patterns.py")
+
+
+@pytest.fixture(scope="module")
+def ref_cm(ref_ftp):
+    return _load("_ref_cm_patterns", f"{REF}/extensions/cm/patterns.py")
+
+
+# ---------------------------------------------------------------------------
+# Reference-loop oracles (transcribed semantics, patterns from the ref)
+# ---------------------------------------------------------------------------
+
+
+def ref_split(line: str, ref) -> str:
+    # preprocess_base.py:807-826 split_token_apart, exactly: search, and
+    # if found sub EVERY occurrence with group(0)+' ' (left) / ' '+group(0)
+    # (right) of the FIRST match.
+    for ptn in ref.PTN_SPLIT_LEFT:
+        m = ptn.search(line)
+        if m:
+            line = ptn.sub("".join([m.group(0), " "]), line)
+    for ptn in ref.PTN_SPLIT_RIGHT:
+        m = ptn.search(line)
+        if m:
+            line = ptn.sub("".join([" ", m.group(0)]), line)
+    return line
+
+
+def ref_rsp(line: str, ref) -> str:
+    # ftp/preprocess.py:30-37: first anchored match replaces the line.
+    for rex, log in ref.PTN_RSP_STAT.items():
+        if rex.match(line):
+            return log.rstrip("\n")  # our line model carries no newline
+    return line
+
+
+SPLIT_CASES = [
+    "Status: offset=3600 seconds",
+    "a=b c=d chained = assignments x==y z= w",
+    "Trace: CControlSocket::SendNextCommand()",
+    "ns::Ab short, ns::Abc long, A::B::Cdef nested",
+    "call(x) (y) (-1) (+2) () (word) end) fn()",
+    "mix: a=(b) c::Ddd(e) ff(g=h)",
+    "equals at end= ",
+    "=start and (0) and x)",
+    "Trace: Verifying certificate (depth 0)",
+]
+
+RSP_CASES = [
+    "Response: 211-Status of connection",
+    "Response: 211 End of status",
+    "Response: 213 20220622000000",
+    "Response: 220-FileZilla Server",
+    "Response: 220 ready",
+    "Response: 421 Timeout - try again later",
+    "Response: 230 Login successful",
+    "Response: 550 File not found",
+    "Response: 4211 not a 421",  # '421 ' needs the space
+    "prefix Response: 211 not anchored",
+]
+
+RM_CASES = [
+    "**********",
+    "*",
+    "BCM33901 Bootloader version 2.5.0",
+    "BCM3390abc",  # 'BCM3390\\d+' needs a digit
+    "RAM Windows size 128 mb",
+    "==================",
+    "=================",  # 17 '=' — below {18}
+    "Type 'help' or 'license' for more information.",
+    "RCC-> foo",
+    "42* strange",
+    "(word) leading paren token",
+    "(word extra) not a single token",
+    "msg 0x1234",
+    "Len: 12 bytes",
+    "  00 10 18 de   f1 b8 c5 2e   14 56  | .........V",
+    "Suboption 3: data",
+    "normal line stays",
+    "Command: RETR file_1.dat",
+]
+
+
+def test_split_patterns_equal_reference(ref_ftp):
+    from loganalyzer_spark import patterns as P
+
+    assert [p.pattern for p in P.PTN_SPLIT_LEFT] == [
+        p.pattern for p in ref_ftp.PTN_SPLIT_LEFT
+    ]
+    assert [p.pattern for p in P.PTN_SPLIT_RIGHT] == [
+        p.pattern for p in ref_ftp.PTN_SPLIT_RIGHT
+    ]
+
+
+def test_rsp_patterns_equal_reference(ref_ftp):
+    from loganalyzer_spark import patterns as P
+
+    ref_items = list(ref_ftp.PTN_RSP_STAT.items())
+    assert len(ref_items) == len(P.PTN_RSP_STAT)
+    for (rp, rlog), (lp, llog) in zip(ref_items, P.PTN_RSP_STAT):
+        assert rp.pattern == lp.pattern
+        assert rlog.rstrip("\n") == llog
+
+
+def test_line_rm_pattern_equals_reference(ref_cm):
+    from loganalyzer_spark import patterns as P
+
+    assert P.PTN_LINE_RM.pattern == ref_cm.PTN_LINE_RM.pattern
+
+
+def test_python_split_equals_reference_loop(ref_ftp):
+    from loganalyzer_spark import patterns as P
+
+    for c in SPLIT_CASES:
+        assert P.split_tokens(c) == ref_split(c, ref_ftp), c
+
+
+def test_python_rsp_equals_reference_loop(ref_ftp):
+    from loganalyzer_spark import patterns as P
+
+    for c in RSP_CASES:
+        assert P.normalize_response(c) == ref_rsp(c, ref_ftp), c
+
+
+def test_jvm_split_and_rsp_byte_identical(spark, ref_ftp):
+    """JVM regexp_replace / when-chain == reference Python loops, on
+    adversarial literals (beyond what the corpus guarantees)."""
+    from pyspark.sql import functions as F
+
+    from loganalyzer_spark.operators.parse import (
+        _normalize_response_expr,
+        _split_tokens_expr,
+    )
+
+    cases = SPLIT_CASES + RSP_CASES
+    df = spark.createDataFrame([(c,) for c in cases], "line string")
+    out = {
+        r["line"]: (r["split"], r["rsp"])
+        for r in df.select(
+            "line",
+            _split_tokens_expr(F.col("line")).alias("split"),
+            _normalize_response_expr("line").alias("rsp"),
+        ).collect()
+    }
+    for c in cases:
+        assert out[c][0] == ref_split(c, ref_ftp), f"split: {c!r}"
+        assert out[c][1] == ref_rsp(c, ref_ftp), f"rsp: {c!r}"
+
+
+def test_jvm_line_rm_matches_python_match(spark, ref_cm):
+    """Anchored Java rlike == Python .match for PTN_LINE_RM."""
+    from pyspark.sql import functions as F
+
+    from loganalyzer_spark.operators.parse import _LINE_RM_ANCHOR
+
+    df = spark.createDataFrame([(c,) for c in RM_CASES], "line string")
+    got = {
+        r["line"]: r["rm"]
+        for r in df.select(
+            "line", F.col("line").rlike(_LINE_RM_ANCHOR).alias("rm")
+        ).collect()
+    }
+    for c in RM_CASES:
+        expect = ref_cm.PTN_LINE_RM.match(c) is not None
+        assert got[c] == expect, f"line_rm: {c!r}"
+
+
+def test_wash_on_corpus_recovers_generator_truth(spark):
+    """End-to-end: wash(raw) over the corpus == generator ground truth
+    (split/normalized content; PTN_LINE_RM rows dropped)."""
+    from loganalyzer_spark import datagen
+    from loganalyzer_spark.operators import parse
+
+    lines = datagen.raw_lines(spark, SF_SMALL)
+    truth = (
+        lines.filter("is_rm = 0")
+        .select("doc_id", "line_no", "content")
+        .toPandas()
+        .sort_values(["doc_id", "line_no"])
+        .reset_index(drop=True)
+    )
+    washed = (
+        parse.wash(lines.drop("content", "is_abn", "is_seg", "is_rm"))
+        .select("doc_id", "line_no", "content")
+        .toPandas()
+        .sort_values(["doc_id", "line_no"])
+        .reset_index(drop=True)
+    )
+    assert len(truth) == len(washed) > 3000
+    # the corpus must actually exercise the new wash stages
+    assert truth["content"].str.contains(":: ").any()
+    assert truth["content"].str.contains("offset= ").any()
+    assert truth["content"].str.contains("\\( depth").any()
+    assert (truth["content"] == "Response: 213 File status").any()
+    assert truth.equals(washed)
