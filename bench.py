@@ -69,8 +69,14 @@ def main() -> None:
     # End-to-end throughput over the input_hint-shaped pages corpus
     # (url, warc_ts, html, text, lang — mirrors the north rule's
     # Iceberg table; synthesis cost is excluded from the measured DAG).
-    # Corpus is generated once and reused across rounds.
-    corpus = f"/tmp/loganalyzer_bench/bench_pages_{n_docs}"
+    # Corpus is generated once and reused; the cache key includes a
+    # hash of the generator SQL so a datagen change invalidates it.
+    import hashlib
+
+    gen_v = hashlib.md5(
+        datagen.raw_lines_sql("spark", "x").encode()
+    ).hexdigest()[:8]
+    corpus = f"/tmp/loganalyzer_bench/bench_pages_{n_docs}_{gen_v}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         datagen.gen_web_pages(spark, n_docs).repartition(64).write.mode(
             "overwrite"

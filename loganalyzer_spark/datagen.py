@@ -318,9 +318,17 @@ def raw_lines_sql(dialect: str, docs_from: str, n_docs_cap: int | None = None) -
             f"FROM {docs_from}, unnest(generate_series(0, {n_lines} - 1)) AS _t(line_no)"
         )
     cap = f"WHERE doc_id < {n_docs_cap}" if n_docs_cap else ""
+    # Spark only: break the stage between the tiny _base rows and the
+    # giant shape projections. Fused into one Generate stage, the
+    # 22-arm CASE trees blow janino's 64 KB method limit — Spark then
+    # pays a doomed multi-second compile per query AND falls back to
+    # interpreted eval. After an exchange the projections codegen with
+    # normal expression splitting. (Generator-only concern: production
+    # input is a parquet/Iceberg scan, which stays under the limit.)
+    hint = "/*+ REPARTITION(32) */ " if dialect == "spark" else ""
     sql = f"""
     WITH _base AS (
-      SELECT doc_id, lang, line_no,
+      SELECT {hint}doc_id, lang, line_no,
              (doc_id * 48271 + line_no * 12923) % 100000 AS r1,
              (doc_id * 16807 + line_no * 69621) % 100000 AS r2
       {from_clause} {cap}

@@ -61,17 +61,38 @@ def _split_tokens_expr(col) -> Column:
 def _normalize_response_expr(col) -> Column:
     """P6: first anchored match rewrites the whole line (ftp/preprocess
     .py:30-37); when() chain preserves the reference's first-match-wins
-    break."""
+    break. Gated behind a cheap ``startswith('Response: ')`` so the 4
+    rlikes only run on response lines (~10-15 % of a corpus); the gate
+    is exact because every PTN_RSP_STAT pattern starts with that
+    literal."""
     e = F.col(col) if isinstance(col, str) else col
     out = None
     for ptn, canonical in P.PTN_RSP_STAT:
+        assert ptn.pattern.startswith("Response: ")
         cond = e.rlike("^" + ptn.pattern)
         out = (
             F.when(cond, F.lit(canonical))
             if out is None
             else out.when(cond, F.lit(canonical))
         )
-    return out.otherwise(e)
+    return F.when(e.startswith("Response: "), out.otherwise(e)).otherwise(e)
+
+
+# Cheap first-character gate for the PTN_LINE_RM filter: every branch of
+# the alternation can only match a line starting with one of these
+# characters (by inspection of cm/patterns.py:79-103 — asterisk/plus
+# banners, BCM/RAM/RCC/TCC/Readback/DHCPc/Type/Suboption/Len/msg/
+# eptAsyncCmd/fUsSetsState literals, '='/'<'/'(' separators, space-
+# indented dsid/munged/hex-dump forms, '\\d+\\*'). The gate skips the
+# 25-branch regex for the ~60 % of lines that start with any other
+# character; tests/test_wash_fidelity.py checks the gated condition
+# against Python ``.match`` on adversarial lines.
+_LINE_RM_FIRST = list("*BR+TDf mSeL<=(") + [str(d) for d in range(10)]
+
+
+def _line_rm_cond(col) -> Column:
+    e = F.col(col) if isinstance(col, str) else col
+    return F.substring(e, 1, 1).isin(_LINE_RM_FIRST) & e.rlike(_LINE_RM_ANCHOR)
 
 
 def pages_to_lines(pages: DataFrame) -> DataFrame:
@@ -107,12 +128,29 @@ def wash(lines: DataFrame, raw: str = "raw") -> DataFrame:
         .withColumn("is_seg", F.col("_pfx").contains("segsign: ").cast("int"))
         .withColumn("class_label", F.regexp_extract("_pfx", "(c[0-9]{3} )$", 1))
         .withColumn("_stripped", F.expr(f"substring({raw}, length(_pfx) + 1)"))
+        # P3 empty purge FIRST, on _stripped: clean/rsp preserve
+        # emptiness both ways (clean needs a 'Word: ' lookahead, rsp
+        # needs 'Response: ...'), so testing before them is equivalent
+        # to the reference's post-domain-process check — and keeps this
+        # filter's pushed-down predicate a cheap btrim, not a copy of
+        # the whole wash chain. (Filter pushdown inlines each filter
+        # condition's full expression tree, and Spark has no cross-
+        # operator CSE: the naive filter-on-_normed form evaluated the
+        # clean+rsp chain 3x per row — measured 15.5 s vs 6 s e2e.)
+        .filter(F.length(F.expr("btrim(_stripped, ' \t')")) > 0)
         .withColumn("_cleaned", F.regexp_replace("_stripped", _CLEAN_CHAR, ""))
-        .withColumn("_normed", _normalize_response_expr("_cleaned"))  # P6
-        .filter(~F.col("_normed").rlike(_LINE_RM_ANCHOR))  # P4 line removal
-        .filter(~F.col("_normed").rlike("^[ \t]*$"))  # P3 empty-line purge
-        .withColumn("content", _split_tokens_expr(F.col("_normed")))  # P5
-        .drop("_pfx", "_stripped", "_cleaned", "_normed")
+        # P4 line removal on _cleaned (reference order: after clean,
+        # where pid/sid stripping can expose a removable line). Testing
+        # before rsp is equivalent: no rsp source or canonical line
+        # matches any PTN_LINE_RM branch (they all start 'Response: ',
+        # which no branch accepts).
+        .filter(~_line_rm_cond("_cleaned"))
+        # P6 then P5 in one single-consumer chain — evaluated once.
+        .withColumn(
+            "content",
+            _split_tokens_expr(_normalize_response_expr("_cleaned")),
+        )
+        .drop("_pfx", "_stripped", "_cleaned")
     )
 
 

@@ -192,21 +192,84 @@ def test_jvm_split_and_rsp_byte_identical(spark, ref_ftp):
 
 
 def test_jvm_line_rm_matches_python_match(spark, ref_cm):
-    """Anchored Java rlike == Python .match for PTN_LINE_RM."""
+    """The gated wash condition (first-char gate + anchored Java rlike)
+    == Python .match for PTN_LINE_RM — the gate must be transparent."""
     from pyspark.sql import functions as F
 
-    from loganalyzer_spark.operators.parse import _LINE_RM_ANCHOR
+    from loganalyzer_spark.operators.parse import _line_rm_cond
 
     df = spark.createDataFrame([(c,) for c in RM_CASES], "line string")
     got = {
         r["line"]: r["rm"]
         for r in df.select(
-            "line", F.col("line").rlike(_LINE_RM_ANCHOR).alias("rm")
+            "line", _line_rm_cond("line").alias("rm")
         ).collect()
     }
     for c in RM_CASES:
         expect = ref_cm.PTN_LINE_RM.match(c) is not None
         assert got[c] == expect, f"line_rm: {c!r}"
+
+
+def test_wash_equals_reference_order_on_adversarial_raw(spark, ref_ftp, ref_cm):
+    """Full wash() vs a transcription of the reference main-loop order
+    (strip ts -> clean -> rsp -> line-rm -> empty -> split;
+    preprocess_base.py:217-407 + ftp/cm process_for_domain). Covers the
+    edges the production reordering must keep equivalent, e.g. pid/sid
+    stripping EXPOSING a removable line ('Len: ...'), and empty-after-
+    strip lines."""
+    import re
+
+    from loganalyzer_spark.operators import parse
+
+    TS = "2022-06-22 14:42:53 "
+    raws = [
+        TS + "10236 1 Command: RETR data.bin",
+        TS + "10236 1 Len: 12 bytes",      # clean exposes a LINE_RM match
+        TS + "**********",                  # removable banner
+        TS + "10236 1 Response: 220-FileZilla Server 1.2",
+        TS + "10236 1 Response: 211-Status follows",
+        TS + "abn: 10236 1 Status: Timezone offset=7 seconds",
+        TS + "segsign: 10000 2 Trace: CControlSocket::SendNextCommand()",
+        TS + "10236 1 Trace: Verifying certificate (depth 2)",
+        TS,                                 # empty after strip
+        TS + "   \t ",                      # whitespace-only content
+        TS + "=====================",       # removable separator
+        TS + "10236 1 Error: code=17 (x) done",
+    ]
+    clean = re.compile(r"\d+ \d (?=[A-Z][a-z]+: )", re.IGNORECASE)
+    std_ts = re.compile(
+        r"\d{4}-\d{2}-\d{2} (([01]\d|2[0-3]):([0-5]\d):([0-5]\d)|24:00:00) "
+        r"(abn: )?(segsign: )?(c[0-9]{3} )?"
+    )
+
+    def ref_order(line):
+        m = std_ts.match(line)
+        if not m:
+            return None
+        s = line[m.end():]
+        s = clean.sub("", s)                       # P2
+        s = ref_rsp(s, ref_ftp)                    # P6
+        if re.match(r"^[ \t]*$", s):               # P3
+            return None
+        if ref_cm.PTN_LINE_RM.match(s):            # P4
+            return None
+        return ref_split(s, ref_ftp)               # P5
+
+    expected = {i: ref_order(r) for i, r in enumerate(raws)}
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(raws)], "line_no int, raw string"
+    )
+    got = {
+        r["line_no"]: r["content"]
+        for r in parse.wash(df).select("line_no", "content").collect()
+    }
+    for i in expected:
+        if expected[i] is None:
+            assert i not in got, f"line {i} should be removed: {raws[i]!r}"
+        else:
+            assert got.get(i) == expected[i], (
+                f"line {i}: {got.get(i)!r} != {expected[i]!r}"
+            )
 
 
 def test_wash_on_corpus_recovers_generator_truth(spark):
