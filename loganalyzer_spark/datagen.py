@@ -27,6 +27,7 @@ library to exercise the new-template fallback (``drain.py:546-600``).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -365,12 +366,42 @@ def raw_lines_sql(dialect: str, docs_from: str, n_docs_cap: int | None = None) -
     return sql.replace(" as varchar", " as string") if dialect == "spark" else sql
 
 
-def raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-side synthetic corpus derived from the shared documents table."""
+def _raw_lines_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw generator plan (Generate → exchange → shape projections)."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang"
     ).createOrReplaceTempView("__docs")
     return spark.sql(raw_lines_sql("spark", "__docs"))
+
+
+def raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side synthetic corpus derived from the shared documents
+    table, materialized once per (generator version, sf_dir) to a /tmp
+    parquet cache and read back.
+
+    Reading back matters, not just caching: a consumer filter (e.g.
+    wash's empty-line test) is otherwise pushed below the generator's
+    REPARTITION stage-break with the full shape-CASE expression tree
+    inlined — re-blowing janino's 64 KB method limit the hint exists to
+    avoid (doomed compile + interpreted stage per query; see
+    raw_lines_sql). Against the parquet scan the same pushdown is the
+    desired PushedFilters. This also mirrors production, where input is
+    an Iceberg/parquet scan, never an expression generator.
+    """
+    gen_v = hashlib.md5(
+        (raw_lines_sql("spark", "x") + os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/loganalyzer_bench/raw_lines_{gen_v}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        _raw_lines_generate(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)  # atomic: concurrent writers race safely
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 def web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -640,6 +640,24 @@ def sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("deeplog_topk", None)  # LSTM inference — rows-only driver check
+def deeplog_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3: DeepLog exec-path anomaly scoring (deeplog.py:500-537,
+    models.py:17-63) — numpy LSTM kernel in an Arrow-batched pandas
+    UDF over the A8 sequence windows, deterministic synthesized
+    weights (torch absent in image; kernel parity pytest-asserted).
+    Rows-only: the LSTM forward pass is not SQL-expressible."""
+    from loganalyzer_spark import deeplog as DL
+
+    routed = P.sessionize(_routed(spark, sf_dir))
+    seq = A.sequence_windows(routed, win=5)
+    out = DL.score_sequences(spark, seq, datagen.vocab_rows(), topk=10)
+    return out.select(
+        "doc_id", F.col("session_id").cast("long").alias("session_id"),
+        "line_no", "target", "rank", "anomaly",
+    )
+
+
 @register(
     "dup_lines",
     _pipe_cte()

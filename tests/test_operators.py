@@ -399,3 +399,97 @@ def test_near_dup_survivors(spark):
         r["doc_id"] for r in DD.near_dup_survivors(docs, pairs).collect()
     )
     assert kept == [0, 1, 2, 5]
+
+
+def _lstm_rank_scalar_loop(seq, target, w):
+    """Independent scalar-Python DeepLog forward (math.* only, no numpy
+    batching) — the parity oracle for the Arrow kernel, mirroring the
+    M5 reference-loop pattern. Implements DeepLogExec.forward
+    (models.py:40-63) one gate element at a time."""
+    import math
+
+    layers = int(w["layers"][0])
+    H = int(w["hidden"][0])
+    sig = lambda v: 1.0 / (1.0 + math.exp(-v))
+    inputs = [[float(x)] for x in seq]  # T × in_size
+    for layer in range(layers):
+        W_ih = w[f"W_ih_{layer}"].tolist()
+        W_hh = w[f"W_hh_{layer}"].tolist()
+        b = (w[f"b_ih_{layer}"] + w[f"b_hh_{layer}"]).tolist()
+        h = [0.0] * H
+        c = [0.0] * H
+        outs = []
+        for x_t in inputs:
+            gates = []
+            for row in range(4 * H):
+                acc = b[row]
+                for j, xv in enumerate(x_t):
+                    acc += W_ih[row][j] * xv
+                for j in range(H):
+                    acc += W_hh[row][j] * h[j]
+                gates.append(acc)
+            new_c, new_h = [], []
+            for j in range(H):
+                i_g = sig(gates[j])
+                f_g = sig(gates[H + j])
+                g_g = math.tanh(gates[2 * H + j])
+                o_g = sig(gates[3 * H + j])
+                cv = f_g * c[j] + i_g * g_g
+                new_c.append(cv)
+                new_h.append(o_g * math.tanh(cv))
+            c, h = new_c, new_h
+            outs.append(list(h))
+        inputs = outs
+    W_out = w["W_out"].tolist()
+    b_out = w["b_out"].tolist()
+    logits = [
+        b_out[k] + sum(W_out[k][j] * h[j] for j in range(H))
+        for k in range(len(b_out))
+    ]
+    order = sorted(range(len(logits)), key=lambda k: (-logits[k], k))
+    return order.index(target)
+
+
+def test_deeplog_kernel_parity():
+    """Batched numpy LSTM kernel == scalar Python loop, rank for rank."""
+    import numpy as np
+
+    from loganalyzer_spark import deeplog as DL
+
+    C = 12
+    w = DL.make_weights(C, hidden=6, layers=2, seed=3)
+    rng = np.random.default_rng(11)
+    X = rng.integers(0, C, size=(40, 5))
+    tgts = rng.integers(0, C, size=40)
+    got = DL.target_rank(X, tgts, w)
+    for n in range(40):
+        assert got[n] == _lstm_rank_scalar_loop(X[n], int(tgts[n]), w), n
+
+
+def test_deeplog_score_sequences(spark):
+    """E2E: rank/anomaly columns over real sequence windows; JVM-side
+    vocab mapping (unknown → reserved slot) matches the kernel run on
+    the same indices."""
+    import numpy as np
+
+    from loganalyzer_spark import datagen
+    from loganalyzer_spark import deeplog as DL
+    from loganalyzer_spark.operators import aggregate as A
+    from loganalyzer_spark.operators import parse as P
+    from loganalyzer_spark.queries import _routed
+
+    routed = P.sessionize(_routed(spark, "/root/testdata/sf0.001"))
+    seq = A.sequence_windows(routed, win=5)
+    vr = datagen.vocab_rows()
+    out = DL.score_sequences(spark, seq, vr, topk=3)
+    rows = out.select("seq_idx", "target_idx", "rank", "anomaly").collect()
+    assert rows, "no sequence windows produced"
+    C = max(i for _, i in vr) + 1
+    w = DL.make_weights(C)
+    X = np.asarray([r["seq_idx"] for r in rows], dtype=np.float64)
+    t = np.asarray([r["target_idx"] for r in rows], dtype=np.int64)
+    expect = DL.target_rank(X, t, w)
+    for n, r in enumerate(rows):
+        assert r["rank"] == expect[n]
+        assert r["anomaly"] == int(expect[n] >= 3)
+    assert all(0 <= r["target_idx"] < C for r in rows)
