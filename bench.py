@@ -40,6 +40,40 @@ def _run_count(df) -> int:
     return df.count()
 
 
+def _host_mem_probe_mb_s() -> float:
+    """First-touch page-fault throughput of NEVER-touched guest pages.
+
+    This VM runs virtio free-page-reporting: freed guest pages are
+    discarded by the host, and re-faulting them goes through the
+    hypervisor at a rate that swings from >1 GB/s to <10 MB/s depending
+    on host load. JVM heap growth and Arrow buffers sit on that path,
+    so a degraded probe reading means wall-clock numbers measure the
+    host, not this code. Recorded in the output JSON so a slow round
+    is attributable.
+    """
+    import numpy as np
+
+    t0 = time.time()
+    a = np.zeros(200_000_000 // 8)  # 200 MB fresh mmap
+    a[:: 4096 // 8] = 1.0  # touch every page
+    dt = time.time() - t0
+    del a
+    return round(200.0 / dt, 1)
+
+
+def _median3(fn) -> float:
+    """Median of 3 fresh-plan runs — single walls swing ±15-30 % on a
+    quiet host and far more when free-page-reporting degrades (see
+    _host_mem_probe_mb_s); the median is the publishable number."""
+    walls = []
+    for _ in range(3):
+        df = fn()
+        t0 = time.time()
+        _run_count(df)
+        walls.append(time.time() - t0)
+    return sorted(walls)[1]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # 500k docs ≈ 4.5M lines: big enough that the measured pass (~7 s)
@@ -57,14 +91,13 @@ def main() -> None:
     for name in HEADLINE:
         if name not in registry:
             continue
-        # warm pass (parquet footers, codegen, JIT), then time a FRESH
-        # plan instance — re-counting the same DataFrame would reuse
-        # AQE's materialized stages and measure nothing.
+        # warm pass (parquet footers, codegen, JIT), then the median of
+        # 3 FRESH plan instances — re-counting the same DataFrame would
+        # reuse AQE's materialized stages and measure nothing.
         _run_count(registry[name](spark, sf_dir))
-        df = registry[name](spark, sf_dir)
-        t0 = time.time()
-        _run_count(df)
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(
+            _median3(lambda: registry[name](spark, sf_dir)), 3
+        )
 
     # End-to-end throughput over the input_hint-shaped pages corpus
     # (url, warc_ts, html, text, lang — mirrors the north rule's
@@ -88,10 +121,8 @@ def main() -> None:
         return pipeline.sink_aggregates(routed, "1 minute")
 
     _run_count(build_agg())  # warm (fresh plan below: no AQE stage reuse)
-    agg = build_agg()
-    t0 = time.time()
-    n_groups = _run_count(agg)
-    e2e = time.time() - t0
+    n_groups = _run_count(build_agg())
+    e2e = _median3(build_agg)
     timings["pipeline_e2e"] = round(e2e, 3)
 
     total = sum(timings.values())
@@ -105,6 +136,7 @@ def main() -> None:
         "e2e_docs_per_sec": round(n_docs / e2e, 1),
         "e2e_agg_groups": n_groups,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+        "host_first_touch_mb_s": _host_mem_probe_mb_s(),
     }
     spark.stop()
     print(json.dumps(out))

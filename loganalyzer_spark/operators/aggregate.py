@@ -164,20 +164,30 @@ def context_window_counts(
 
 
 def sequence_windows(
-    lines: DataFrame, win: int = 5, part: str = "session_id"
+    lines: DataFrame,
+    win: int = 5,
+    part: str = "session_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """A8: DeepLog sequence slicing (deeplog.py:200-277) — sliding
     event-index windows + next-event target per session, via
     collect_list over a row frame + lead. Tail windows (< win items or
-    no target) are dropped, matching the reference's bounds check."""
+    no target) are dropped, matching the reference's bounds check.
+
+    ``carry`` leads extra per-line columns to the target row as
+    ``target_<col>`` (same lead offset, same window — zero extra
+    shuffle), so target-line attributes (e.g. the OSS param-anomaly
+    flag for EP3 predict) ride along without a self-join."""
     w = Window.partitionBy("doc_id", part).orderBy("line_no")
     frame = w.rowsBetween(0, win - 1)
-    return (
+    out = (
         lines.withColumn("seq", F.collect_list("event_id").over(frame))
         .withColumn("target", F.lead("event_id", win).over(w))
         .withColumn("label", F.max("is_abn").over(frame))
-        .filter((F.size("seq") == win) & F.col("target").isNotNull())
     )
+    for c in carry:
+        out = out.withColumn(f"target_{c}", F.lead(c, win).over(w))
+    return out.filter((F.size("seq") == win) & F.col("target").isNotNull())
 
 
 def dedup_lines(lines: DataFrame, col: str = "raw") -> DataFrame:

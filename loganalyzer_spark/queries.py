@@ -658,6 +658,72 @@ def deeplog_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("deeplog_predict", None)  # LSTM + OSS check — rows-only
+def deeplog_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 full predict disposition (deeplog.py:517-537): a target line
+    is anomalous when its rank among the model's logits is outside
+    top-k, OR — for in-top-k lines — the OSS param-value check fires
+    (para_anomaly_det, deeplog.py:392-423: token counts match AND the
+    KB's (event, params) rule yields severity != 'info').
+
+    The param-anomaly flag is computed per line BEFORE windowing and
+    carried to the target row by the same ``lead`` that carries the
+    target event — no self-join, no extra shuffle. Rows-only: LSTM."""
+    from loganalyzer_spark import deeplog as DL
+    from loganalyzer_spark.operators import enrich as EN
+
+    routed = M.extract_params(P.sessionize(_routed(spark, sf_dir)))
+    lenmatch = F.size(F.split("event_template", " ")) == F.size(
+        F.split("masked", " ")
+    )
+    routed = EN.apply_param_rules(routed).withColumn(
+        # para_anomaly_det returns False outright on token-count
+        # mismatch (deeplog.py:409-410) — guard, don't filter.
+        "para_anom",
+        (lenmatch & (F.col("severity_kb") != "info")).cast("int"),
+    )
+    seq = A.sequence_windows(routed, win=5, carry=("para_anom",))
+    out = DL.score_sequences(spark, seq, datagen.vocab_rows(), topk=10)
+    return out.select(
+        "doc_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "line_no",
+        "target",
+        "rank",
+        F.greatest("anomaly", F.col("target_para_anom")).alias("anomaly"),
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(cast(props->>'k' AS INT)), 6) AS avg_k,
+           max(cast(props->>'k' AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 JSON surface: typed ``from_json`` over the events.props
+    JSON string (the driver testdata's only JSON column; SURVEY notes
+    the reference itself has no JSON). Schema-on-read beats
+    get_json_object when >1 field is consumed: one parse, pruned
+    struct."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 @register(
     "dup_lines",
     _pipe_cte()
