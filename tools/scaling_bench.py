@@ -179,6 +179,18 @@ the low-rung pairs model. The plan itself has no serial section: one
 fused narrow stage (scan → posexplode → wash → mask → match), two
 broadcast joins, one exchange into the partial+final hash aggregate.
 
+## Host hazard: virtio free-page-reporting (round 2)
+
+This guest runs free-page-reporting: freed pages are discarded by the
+host, and re-faulting them (JVM heap growth, Arrow buffers) runs at
+host-paging speed — observed swinging between >1 GB/s and <10 MB/s
+within minutes. A rung measured in a degraded phase can read several
+times slow with no code change. bench.py records the first-touch rate
+as `host_first_touch_mb_s`; ladder numbers here were taken after
+checking the probe. The **executor ladder (BENCH/EXECUTORS.md) is the
+headline number for the north rule** — N→4N separate-JVM executors is
+the regime the rule names, and it sidesteps single-JVM heap contention.
+
 ## Tuning notes (measured on this VM, 2M docs)
 
 * driver heap 16g: 48g collapses 32-thread throughput ~4x
