@@ -1,0 +1,85 @@
+"""Deterministic hash-based sampling & splits (training-data extension).
+
+A 100 TB training pipeline cannot use ``df.sample()`` for corpus
+splits: `rand()` is nondeterministic across retries/re-runs, so a
+failed stage resampled on retry silently changes the split, and the
+same document can land in train on one run and val on the next —
+train/test contamination. The standard fix (used by every large
+corpus pipeline) is content-keyed hash thresholding: a document is in
+the sample iff a fixed-width prefix of ``md5(key)`` falls below a
+threshold. Properties:
+
+* deterministic and re-run/retry stable (pure function of the key),
+* no shuffle — a scan-level Filter, pushdown-friendly,
+* uniform: md5 prefix bits are i.i.d. uniform over keys,
+* cross-engine exact: Spark and DuckDB produce the identical lowercase
+  md5 hex, and hex-string comparison is plain lexicographic order —
+  so the DuckDB oracle reproduces the sample byte-for-byte.
+
+Granularity is 16 bits (4 hex chars): rates are quantized to
+k/65536. Rebuild-side analogue of the reference's ad-hoc slicing
+(``loglizer.py:214-249`` splits monolith files by row ranges — fine
+single-node, order-dependent and irreproducible under Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 1 << 16  # 4 hex chars
+
+
+def _threshold_hex(rate: float) -> str:
+    """rate in [0,1] → 4-char lowercase hex threshold (floor).
+
+    rate >= 1 returns "g": lexicographically above every hex char, so
+    ``hash16 < "g"`` keeps everything (format(65536) would be the
+    5-char "10000", which sorts BELOW "ffff" as a string — wrong)."""
+    k = max(0, int(rate * _SPACE))
+    if k >= _SPACE:
+        return "g"
+    return format(k, "04x")
+
+
+def hash16(key: Column | str) -> Column:
+    """First 4 hex chars of md5(key) — the 16-bit sampling coordinate."""
+    return F.substring(F.md5(F.col(key) if isinstance(key, str) else key), 1, 4)
+
+
+def sample_hash(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Keep rows whose md5(key) 16-bit prefix < rate (quantized k/65536)."""
+    return df.filter(hash16(key) < F.lit(_threshold_hex(rate)))
+
+
+def split_column(key: Column | str, train_rate: float = 0.9) -> Column:
+    """'train' / 'val' assignment, deterministic in the key."""
+    return F.when(
+        hash16(key) < F.lit(_threshold_hex(train_rate)), F.lit("train")
+    ).otherwise(F.lit("val"))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. per-language corpus balancing:
+    downsample head languages, keep the tail whole). ``rates`` maps
+    stratum value → keep-rate; missing strata default to keep-all.
+
+    The rate lookup is a literal CASE (bounded dim — language count),
+    so the whole operator stays one scan-level Filter: no join, no
+    shuffle, safe at any scale.
+    """
+    expr = None
+    for val, rate in sorted(rates.items()):
+        cond = F.col(stratum) == F.lit(val)
+        thr = F.lit(_threshold_hex(rate))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = expr.otherwise(F.lit("g"))  # missing stratum → keep all
+    return df.filter(hash16(key) < thr_col)
+
+
+def oracle_threshold_sql(rate: float) -> str:
+    """The DuckDB-side threshold literal for a given rate (shared
+    constant so the oracle and the Spark plan cannot drift)."""
+    return _threshold_hex(rate)

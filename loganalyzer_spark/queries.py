@@ -724,6 +724,89 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _smp():
+    from loganalyzer_spark.operators import sample as SMP
+
+    return SMP
+
+
+def _split_sql(rate: float) -> str:
+    from loganalyzer_spark.operators.sample import oracle_threshold_sql
+
+    return oracle_threshold_sql(rate)
+
+
+@register(
+    "corpus_sample_rows",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 4) < '{_split_sql(0.1)}'
+    """,
+)
+def corpus_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample via md5-prefix thresholding —
+    retry/re-run stable (pure function of the key), a scan-level
+    Filter with no shuffle. Row-level exactness vs the oracle proves
+    both engines select the identical document set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = _smp().sample_hash(
+        docs.withColumn("k", F.col("doc_id").cast("string")), "k", 0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "corpus_split_stats",
+    f"""
+    SELECT lang, split, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (
+      SELECT lang, doc_id,
+             CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 4)
+                       < '{_split_sql(0.9)}'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents)
+    GROUP BY lang, split
+    """,
+)
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split, stable under retries and
+    re-runs — df.sample()/rand() resample on stage retry and leak
+    documents across splits; md5(key) thresholding cannot."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.withColumn(
+        "split", _smp().split_column(F.col("doc_id").cast("string"), 0.9)
+    )
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    f"""
+    SELECT lang, count(*) AS n FROM documents
+    WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '{_split_sql(0.25)}'
+                    WHEN 'zh' THEN '{_split_sql(0.5)}'
+                    ELSE 'g' END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rebalancing: downsample the head languages
+    (en 25%, zh 50%), keep the tail whole — one scan-level Filter with
+    a literal CASE threshold (bounded stratum dim), no join, no
+    shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = _smp().stratified_sample(
+        docs.withColumn("k", F.col("doc_id").cast("string")),
+        "k",
+        "lang",
+        {"en": 0.25, "zh": 0.5},
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n"))
+
+
 @register(
     "dup_lines",
     _pipe_cte()

@@ -493,3 +493,56 @@ def test_deeplog_score_sequences(spark):
         assert r["rank"] == expect[n]
         assert r["anomaly"] == int(expect[n] >= 3)
     assert all(0 <= r["target_idx"] < C for r in rows)
+
+
+def test_sample_threshold_hex():
+    """Threshold quantization and the rate>=1 'g' sentinel (a 5-char
+    '10000' would sort BELOW 'ffff' lexicographically)."""
+    from loganalyzer_spark.operators.sample import _threshold_hex
+
+    assert _threshold_hex(0.0) == "0000"
+    assert _threshold_hex(0.1) == "1999"   # floor(0.1 * 65536) = 6553
+    assert _threshold_hex(0.9) == "e666"
+    assert _threshold_hex(1.0) == "g"
+    assert "g" > "ffff"  # sentinel sorts above every 4-char hex
+    assert not ("ffff" < "10000")  # why format(65536) can't express keep-all
+
+
+def test_sample_hash_deterministic_and_uniform(spark):
+    """Same rows selected on every run/partitioning; rate within
+    binomial noise; split is a partition of the corpus; keep-all
+    stratum keeps everything."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from loganalyzer_spark.operators import sample as SMP
+
+    docs = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+    )
+    got1 = sorted(r["doc_id"] for r in SMP.sample_hash(docs, "k", 0.2).collect())
+    got2 = sorted(
+        r["doc_id"]
+        for r in SMP.sample_hash(docs.repartition(7), "k", 0.2).collect()
+    )
+    assert got1 == got2, "sample must not depend on partitioning"
+    # independent python-side oracle
+    expect = [
+        i for i in range(5000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < "3333"
+    ]
+    assert got1 == expect
+    assert abs(len(got1) / 5000 - 0.2) < 0.03
+
+    split = docs.withColumn("s", SMP.split_column("k", 0.75))
+    cnt = {r["s"]: r["n"] for r in split.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert cnt["train"] + cnt["val"] == 5000
+    assert abs(cnt["train"] / 5000 - 0.75) < 0.03
+
+    strat = SMP.stratified_sample(docs, "k", "stratum", {"0": 0.5})
+    per = {r["stratum"]: r["n"] for r in strat.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert per["1"] == 1667 and per["2"] == 1666  # keep-all strata intact
+    assert abs(per["0"] / (5000 / 3) - 0.5) < 0.06
