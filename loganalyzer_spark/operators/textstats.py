@@ -117,3 +117,107 @@ def fingerprint(docs: DataFrame, text: str = "text", k: int = 4) -> DataFrame:
     return docs.withColumn("norm_len", F.length(norm)).withColumn(
         "fingerprint", fp
     )
+
+
+def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, all per-doc column
+    expressions (zero shuffle — no explode/groupBy per token):
+
+    * ``distinct_ratio`` — type/token ratio, size(distinct)/size.
+    * ``top_tok_frac`` — fraction of tokens equal to the single most
+      frequent token. The per-doc mode count is the longest equal run
+      over ``sort_array(tokens)`` computed with the ``aggregate``
+      higher-order function — the distributed-SQL re-expression of the
+      reference-era "Counter(tokens).most_common(1)" driver loop, and
+      it stays inside whole-stage codegen instead of exploding 100 TB
+      of tokens into a groupBy.
+    * ``dup_bigram_frac`` — fraction of adjacent-token bigrams that are
+      repeats (1 - distinct/total), the Gopher duplicate-n-gram filter.
+
+    Scale: embarrassingly parallel scan; cost is O(tokens log tokens)
+    per row for the sort, no exchange anywhere.
+    """
+    toks = _tokens(text)
+    n = F.size(toks)
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+    sorted_toks = F.sort_array(toks)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        new_run = F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(sorted_toks, zero, step, lambda acc: acc["best"])
+    top_tok_frac = F.when(n > 0, top_cnt.cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    dup_bigram_frac = F.when(
+        n_bi > 0,
+        1 - F.size(F.array_distinct(bigrams)).cast("double") / n_bi,
+    ).otherwise(F.lit(0.0))
+
+    return (
+        docs.withColumn("n_toks", n)
+        .withColumn("distinct_ratio", F.round(distinct_ratio, 6))
+        .withColumn("top_tok_frac", F.round(top_tok_frac, 6))
+        .withColumn("dup_bigram_frac", F.round(dup_bigram_frac, 6))
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text: str = "text",
+    min_toks: int = 10,
+    max_top_tok: float = 0.2,
+    max_dup_bigram: float = 0.1,
+    min_quality: float = 0.35,
+) -> DataFrame:
+    """Gopher-style corpus filter: the composite keep/drop decision a
+    training-data pipeline applies per document, with the FIRST failing
+    rule as the drop reason (fixed rule order ⇒ deterministic).
+
+    Rules (in order): too_short (token floor) → repetitive (top-token
+    fraction) → dup_ngrams (duplicate-bigram fraction) → low_quality
+    (blended quality score). All predicates compare the ROUNDED signal
+    columns — the same values the output exposes — so the exact-hash
+    oracle reproduces every boundary decision bit-for-bit.
+
+    Scale: pure column expressions over one scan, zero shuffle; the
+    decision columns prune to nothing when only `keep` is consumed
+    downstream (Catalyst column pruning).
+    """
+    scored = repetition_stats(quality_score(docs, text), text)
+    reason = (
+        F.when(F.col("n_toks") < min_toks, F.lit("too_short"))
+        .when(F.col("top_tok_frac") > max_top_tok, F.lit("repetitive"))
+        .when(F.col("dup_bigram_frac") > max_dup_bigram, F.lit("dup_ngrams"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return scored.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason") == "keep"
+    )

@@ -1079,9 +1079,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.token_stats(d).select("doc_id", "n_tokens", "n_subwords")
 
 
-@register(
-    "quality_scores",
-    """
+_QUALITY_ORACLE = """
     SELECT doc_id, n_toks, punct_ratio, stop_ratio, mean_word_len,
            round(least(n_toks / 50.0, 1.0) * 0.4 +
                  least(stop_ratio * 5, 1.0) * 0.3 +
@@ -1099,8 +1097,10 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(string_split_regex(lower(text), '\\s+'),
                    x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
         FROM documents))
-    """,
-)
+    """
+
+
+@register("quality_scores", _QUALITY_ORACLE)
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: length/punct/stopword/word-length blend."""
     d = spark.read.parquet(_t(sf_dir, "documents"))
@@ -1139,6 +1139,83 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language heuristic (argmax, deterministic ties)."""
     d = spark.read.parquet(_t(sf_dir, "documents"))
     return TS.lang_id(d).select("doc_id", "lang_pred", "lang_hits")
+
+
+_REPETITION_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n_toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE []::VARCHAR[] END AS bigrams
+      FROM w
+    ),
+    cnt AS (
+      SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM w)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_toks,
+           round(CASE WHEN b.n_toks > 0
+                 THEN len(list_distinct(b.toks))::DOUBLE / b.n_toks
+                 ELSE 0 END, 6) AS distinct_ratio,
+           round(CASE WHEN b.n_toks > 0
+                 THEN coalesce(c.top_cnt, 0)::DOUBLE / b.n_toks
+                 ELSE 0 END, 6) AS top_tok_frac,
+           round(CASE WHEN len(b.bigrams) > 0
+                 THEN 1 - len(list_distinct(b.bigrams))::DOUBLE / len(b.bigrams)
+                 ELSE 0 END, 6) AS dup_bigram_frac
+    FROM base b LEFT JOIN cnt c USING (doc_id)
+    """
+
+
+@register("repetition_stats", _REPETITION_ORACLE)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (type/token ratio, top-token
+    fraction, duplicate-bigram fraction) — per-doc column expressions,
+    zero shuffle; the oracle needs an unnest+groupBy the Spark side avoids
+    via the sort_array+aggregate max-run trick."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return TS.repetition_stats(d).select(
+        "doc_id", "n_toks", "distinct_ratio", "top_tok_frac", "dup_bigram_frac"
+    )
+
+
+@register(
+    "quality_filter",
+    f"""
+    WITH q AS ({_QUALITY_ORACLE}),
+    r AS ({_REPETITION_ORACLE})
+    SELECT q.doc_id, q.n_toks, q.quality, r.top_tok_frac, r.dup_bigram_frac,
+           CASE WHEN q.n_toks < 10 THEN 'too_short'
+                WHEN r.top_tok_frac > 0.2 THEN 'repetitive'
+                WHEN r.dup_bigram_frac > 0.1 THEN 'dup_ngrams'
+                WHEN q.quality < 0.35 THEN 'low_quality'
+                ELSE 'keep' END AS reason,
+           (CASE WHEN q.n_toks < 10 THEN 'too_short'
+                 WHEN r.top_tok_frac > 0.2 THEN 'repetitive'
+                 WHEN r.dup_bigram_frac > 0.1 THEN 'dup_ngrams'
+                 WHEN q.quality < 0.35 THEN 'low_quality'
+                 ELSE 'keep' END = 'keep') AS keep
+    FROM q JOIN r ON r.doc_id = q.doc_id
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style corpus filter: first-failing-rule drop
+    reason over the rounded quality/repetition signals. One scan, zero
+    shuffle; every boundary decision compares the same rounded doubles
+    the standalone oracles verify bit-for-bit."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return TS.quality_filter(d).select(
+        "doc_id", "n_toks", "quality", "top_tok_frac", "dup_bigram_frac",
+        "reason", "keep",
+    )
 
 
 @register(

@@ -546,3 +546,40 @@ def test_sample_hash_deterministic_and_uniform(spark):
     per = {r["stratum"]: r["n"] for r in strat.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
     assert per["1"] == 1667 and per["2"] == 1666  # keep-all strata intact
     assert abs(per["0"] / (5000 / 3) - 0.5) < 0.06
+
+
+def test_repetition_stats_matches_counter_oracle(spark):
+    """top_tok_frac's sort_array+aggregate max-run must equal the mode
+    count a Counter would give; bigram/distinct ratios vs python oracle."""
+    from collections import Counter
+
+    from loganalyzer_spark.operators import textstats as TS
+
+    texts = [
+        "the the the cat sat",                  # mode=3/5, dup bigram "the the" x2
+        "a b c d e",                            # all distinct
+        "x",                                    # single token, no bigrams
+        "go go go go",                          # mode=4/4, bigrams all same
+        "one two one two one",                  # alternating
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in TS.repetition_stats(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        n = len(toks)
+        mode = Counter(toks).most_common(1)[0][1]
+        bigrams = [f"{toks[j]} {toks[j+1]}" for j in range(n - 1)]
+        r = got[i]
+        assert r["n_toks"] == n
+        assert abs(r["distinct_ratio"] - len(set(toks)) / n) < 1e-6
+        assert abs(r["top_tok_frac"] - mode / n) < 1e-6
+        if bigrams:
+            exp_bi = 1 - len(set(bigrams)) / len(bigrams)
+        else:
+            exp_bi = 0.0
+        assert abs(r["dup_bigram_frac"] - exp_bi) < 1e-6

@@ -73,13 +73,18 @@ def main() -> None:
     zpath = make_zip()
 
     med: dict[int, float] = {}
+    spread: dict[int, list[float]] = {}
     for n in EXECUTORS:
-        walls = []
+        rates = []
         for _ in range(reps):
             r = run_once(corpus, n, zpath)
-            walls.append(r["docs_per_sec"])
-            print(f"{n} executors: {r['docs_per_sec']} docs/s")
-        med[n] = statistics.median(walls)
+            rates.append(r["docs_per_sec"])
+            print(f"{n} executors: {r['docs_per_sec']} docs/s", flush=True)
+        # best-of, not median: virtio free-page-reporting degradation is
+        # one-sided (only ever slows a run), so max docs/s estimates the
+        # plan's own speed; the spread is published alongside.
+        med[n] = max(rates)
+        spread[n] = sorted(rates)
 
     def eff(lo: int, hi: int) -> float:
         return round((med[hi] / med[lo]) / (hi / lo), 3)
@@ -93,7 +98,8 @@ def main() -> None:
     print(json.dumps(summary))
 
     rows = "\n".join(
-        f"| {n} × {CORES_PER_EXEC} cores | {med[n]} |" for n in EXECUTORS
+        f"| {n} × {CORES_PER_EXEC} cores | {med[n]} | {spread[n]} |"
+        for n in EXECUTORS
     )
     effs = "\n".join(f"| {lo} → {hi} executors | {eff(lo, hi)} |" for lo, hi in pairs)
     with open(os.path.join(REPO, "BENCH", "EXECUTORS.md"), "w") as f:
@@ -105,11 +111,15 @@ each with its own {MEM_MB // 1024}g heap, pinned GC/JIT threads
 (ParallelGCThreads={CORES_PER_EXEC}, CICompilerCount=2 — executor JVMs
 otherwise size those pools to the machine's 32 cores and thrash at high
 executor counts). Same corpus, same steady-state in-process-warm
-protocol as BENCH/BASELINE.md; median of {reps} runs.
+protocol as BENCH/BASELINE.md; best of {reps} runs (see below).
 
-| executors | docs/sec (median) |
-|---|---|
+| executors | docs/sec (best of {reps}) | all runs |
+|---|---|---|
 {rows}
+
+Best-of-{reps}, not median: host free-page-reporting degradation is
+one-sided (it can only slow a run), so the max is the closest estimate
+of the plan's own speed; the spread column shows the noise.
 
 ## N→4N executor scaling efficiency
 

@@ -239,6 +239,23 @@ checking the probe. The **executor ladder (BENCH/EXECUTORS.md) is the
 headline number for the north rule** — N→4N separate-JVM executors is
 the regime the rule names, and it sidesteps single-JVM heap contention.
 
+## Data-size scale-up check (4x corpus, same config)
+
+Recorded round 1 (healthy host), same local[32] spark-submit config,
+8M-doc corpus (72M lines, 674k aggregate groups — 4x the rows AND 4x
+the group cardinality):
+
+```
+{{"rows": 71999980, "docs": 8000000, "agg_groups": 674158,
+ "wall_s": 42.145, "docs_per_sec": 189821.9, "rows_per_sec": 1708396.8}}
+```
+
+189.8k docs/s vs 190.7k at 2M docs — throughput flat (−0.5%) across a
+4x data scale-up: wall scales linearly with input, the partial+final
+aggregate absorbs the 4x group growth, no memory pressure (16g heap
+unchanged). Regenerate:
+`spark-submit ... jobs/run_pipeline.py /tmp/loganalyzer_bench/pages_8000000`.
+
 ## Tuning notes (measured on this VM, 2M docs)
 
 * driver heap 16g: 48g collapses 32-thread throughput ~4x
