@@ -61,17 +61,20 @@ def _host_mem_probe_mb_s() -> float:
     return round(200.0 / dt, 1)
 
 
-def _median3(fn) -> float:
+def _median3(fn) -> tuple[float, int]:
     """Median of 3 fresh-plan runs — single walls swing ±15-30 % on a
     quiet host and far more when free-page-reporting degrades (see
-    _host_mem_probe_mb_s); the median is the publishable number."""
+    _host_mem_probe_mb_s); the median is the publishable number.
+    Also returns the (invariant) row count from the last run so callers
+    don't need an extra untimed pass just to learn the cardinality."""
     walls = []
+    n = 0
     for _ in range(3):
         df = fn()
         t0 = time.time()
-        _run_count(df)
+        n = _run_count(df)
         walls.append(time.time() - t0)
-    return sorted(walls)[1]
+    return sorted(walls)[1], n
 
 
 def main() -> None:
@@ -96,7 +99,7 @@ def main() -> None:
         # reuse AQE's materialized stages and measure nothing.
         _run_count(registry[name](spark, sf_dir))
         timings[name] = round(
-            _median3(lambda: registry[name](spark, sf_dir)), 3
+            _median3(lambda: registry[name](spark, sf_dir))[0], 3
         )
 
     # End-to-end throughput over the input_hint-shaped pages corpus
@@ -121,8 +124,7 @@ def main() -> None:
         return pipeline.sink_aggregates(routed, "1 minute")
 
     _run_count(build_agg())  # warm (fresh plan below: no AQE stage reuse)
-    n_groups = _run_count(build_agg())
-    e2e = _median3(build_agg)
+    e2e, n_groups = _median3(build_agg)
     timings["pipeline_e2e"] = round(e2e, 3)
 
     total = sum(timings.values())

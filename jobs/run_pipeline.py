@@ -46,8 +46,11 @@ def main() -> None:
     # ~8 s serial cost per JVM (measured via Amdahl fit across the
     # ladder); steady-state throughput is what scales with executors,
     # so the measured pass runs against a warmed code cache.
-    lines, agg = build()
     build()[1].count()
+    # Build the timed plan instance AFTER warming: a plan built before
+    # the warm pass could (in principle) reuse AQE state across
+    # instances and under-measure.
+    lines, agg = build()
     t0 = time.time()
     groups = agg.count()
     wall = time.time() - t0

@@ -374,6 +374,26 @@ def _raw_lines_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(raw_lines_sql("spark", "__docs"))
 
 
+def _docs_stamp(sf_dir: str) -> str:
+    """Content stamp of documents.parquet (size+mtime of every part
+    file): folded into the raw_lines cache key so regenerated testdata
+    at the same path invalidates the /tmp corpus cache instead of
+    silently serving a stale corpus."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    try:
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, name))
+                parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(p)
+            parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass  # missing table → key degrades to sql+path (old behavior)
+    return "|".join(parts)
+
+
 def raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-side synthetic corpus derived from the shared documents
     table, materialized once per (generator version, sf_dir) to a /tmp
@@ -389,7 +409,11 @@ def raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     an Iceberg/parquet scan, never an expression generator.
     """
     gen_v = hashlib.md5(
-        (raw_lines_sql("spark", "x") + os.path.abspath(sf_dir)).encode()
+        (
+            raw_lines_sql("spark", "x")
+            + os.path.abspath(sf_dir)
+            + _docs_stamp(sf_dir)
+        ).encode()
     ).hexdigest()[:12]
     path = f"/tmp/loganalyzer_bench/raw_lines_{gen_v}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

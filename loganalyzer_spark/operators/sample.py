@@ -70,6 +70,8 @@ def stratified_sample(
     so the whole operator stays one scan-level Filter: no join, no
     shuffle, safe at any scale.
     """
+    if not rates:
+        return df  # no stratum constrained → keep everything
     expr = None
     for val, rate in sorted(rates.items()):
         cond = F.col(stratum) == F.lit(val)

@@ -21,7 +21,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import statistics
 import subprocess
 import sys
 
@@ -72,7 +71,7 @@ def main() -> None:
     corpus = ensure_corpus(n_docs)
     zpath = make_zip()
 
-    med: dict[int, float] = {}
+    best: dict[int, float] = {}
     spread: dict[int, list[float]] = {}
     for n in EXECUTORS:
         rates = []
@@ -83,22 +82,22 @@ def main() -> None:
         # best-of, not median: virtio free-page-reporting degradation is
         # one-sided (only ever slows a run), so max docs/s estimates the
         # plan's own speed; the spread is published alongside.
-        med[n] = max(rates)
+        best[n] = max(rates)
         spread[n] = sorted(rates)
 
     def eff(lo: int, hi: int) -> float:
-        return round((med[hi] / med[lo]) / (hi / lo), 3)
+        return round((best[hi] / best[lo]) / (hi / lo), 3)
 
-    pairs = [(n, n * 4) for n in EXECUTORS if n * 4 in med]
+    pairs = [(n, n * 4) for n in EXECUTORS if n * 4 in best]
     summary = {
         "n_docs": n_docs,
-        **{f"docs_per_sec_{n}x{CORES_PER_EXEC}": med[n] for n in EXECUTORS},
+        **{f"docs_per_sec_{n}x{CORES_PER_EXEC}": best[n] for n in EXECUTORS},
         **{f"eff_{lo}_to_{hi}_executors": eff(lo, hi) for lo, hi in pairs},
     }
     print(json.dumps(summary))
 
     rows = "\n".join(
-        f"| {n} × {CORES_PER_EXEC} cores | {med[n]} | {spread[n]} |"
+        f"| {n} × {CORES_PER_EXEC} cores | {best[n]} | {spread[n]} |"
         for n in EXECUTORS
     )
     effs = "\n".join(f"| {lo} → {hi} executors | {eff(lo, hi)} |" for lo, hi in pairs)
