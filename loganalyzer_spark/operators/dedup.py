@@ -270,14 +270,54 @@ def embedding_near_dups(
     )
 
 
+def lsh_band_plan(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_bits: int = 60,
+) -> tuple[int, int]:
+    """Derive (nbands, band_width) so banded hyperplane LSH retrieves a
+    pair at cosine == ``threshold`` with probability ≥ ``target_recall``.
+
+    Per-bit collision probability for angle θ is p = 1 - θ/π; a pair
+    survives banding with 1 - (1 - p^w)^b.  We take the WIDEST band w
+    (widest = best pruning of sub-threshold pairs) whose required band
+    count b = ceil(ln(1-R)/ln(1-p^w)) still fits the single-long
+    signature (w·b ≤ max_bits ≤ 63).  Examples (R = 0.95):
+    t=0.9 → 8 bands × 7 bits; t=0.99 → 4 × 12; t=0.35 → 12 × 3.
+
+    A fixed plan has no safe operating point: 4×8 bands give ~93 %
+    recall at t=0.9 but only ~7 % at t=0.35 (θ≈69° ⇒ an 8-bit band
+    survives at (1-θ/π)^8 ≈ 2 %).  Deriving the plan from the
+    registered threshold is what makes recall a contract instead of a
+    coincidence.  Low thresholds still prune weakly — that is inherent
+    to sign-LSH (θ→90° is indistinguishable from random), so the
+    100 TB design point remains high-threshold near-dup (t ≥ 0.9).
+    """
+    import math
+
+    t = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(t) / math.pi
+    if p >= 1.0:  # threshold == 1: any single band retrieves exact dups
+        return 1, min(16, max_bits)
+    log_miss = math.log(1.0 - target_recall)
+    for w in range(max_bits, 0, -1):
+        pw = p**w
+        if pw <= 0.0:
+            continue
+        b = math.ceil(log_miss / math.log(1.0 - pw))
+        if w * b <= max_bits:
+            return b, w
+    return max_bits, 1  # p extremely small: 1-bit bands, every bit a band
+
+
 def embedding_near_dups_lsh(
     emb: DataFrame,
     threshold: float = 0.9,
     key: str = "vec_id",
     vec: str = "embedding",
-    nbits: int = 32,
+    nbits: int | None = None,
     dim: int | None = None,
-    nbands: int = 4,
+    nbands: int | None = None,
 ) -> DataFrame:
     """Scale path: hyperplane-LSH blocked near-dup pairs.
 
@@ -288,19 +328,21 @@ def embedding_near_dups_lsh(
     so precision is 1.0 and only recall is approximate. The join key
     (band_id, band_bits) distributes; no cross join anywhere.
 
-    Defaults are 4 bands × 8 bits: a random pair collides on a given
-    8-bit band with p = (1 - θ/π)^8 (θ = angle), so near-orthogonal
-    pairs survive banding at ~4·(1/2)^8 ≈ 1.6 % while cosine ≥ 0.9
-    pairs (θ ≤ 26°) survive at ≥ 1-(1-0.86^8)^4 ≈ 93 % — candidates
-    stay ~linear in n, unlike the 2-bit bands this replaced (which
-    kept ~n²/4 pairs). Raise nbits for tighter candidate sets at the
-    cost of recall; the trade is recall↑/cost↑ with fewer bits per
-    band, recall↓/cost↓ with more.
+    When ``nbands``/``nbits`` are not given, the banding is derived
+    from ``threshold`` by :func:`lsh_band_plan` so recall at the
+    operating point is ≥ 0.95 by construction (t=0.9 → 8×7 bits,
+    t=0.35 → 12×3).  Passing an explicit plan overrides — but a plan
+    chosen for one threshold silently collapses recall at another, so
+    prefer the derived default.
 
     ``dim`` is derived from the first row when not given (one bounded
     driver action); a wrong hard-coded dim would silently null-pad
     ``zip_with`` and collapse every sign bit to 0 (one giant bucket).
     """
+    if nbands is None or nbits is None:
+        plan_bands, plan_width = lsh_band_plan(threshold)
+        nbands = plan_bands if nbands is None else nbands
+        nbits = plan_bands * plan_width if nbits is None else nbits
     if dim is None:
         head = emb.select(F.size(vec).alias("d")).head()
         if head is None:

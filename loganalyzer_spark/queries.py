@@ -1940,11 +1940,18 @@ def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(pairs).orderBy("node")
 
 
-def _lsh_near_dup_oracle(dim: int = 64, nbits: int = 32, nbands: int = 4) -> str:
+def _lsh_near_dup_oracle(
+    dim: int = 64, threshold: float = 0.35
+) -> str:
     """DuckDB rederivation of the banded hyperplane-LSH path itself —
-    same deterministic planes (similarity.lsh_planes), same banding,
-    same rounded-cosine verify — so the oracle checks the SCALE path's
-    output exactly, not merely a brute-force superset of it."""
+    same deterministic planes (similarity.lsh_planes), same
+    threshold-derived banding (dedup.lsh_band_plan), same rounded-cosine
+    verify — so the oracle checks the SCALE path's output exactly, not
+    merely a brute-force superset of it."""
+    from loganalyzer_spark.operators.dedup import lsh_band_plan
+
+    nbands, width = lsh_band_plan(threshold)
+    nbits = nbands * width
     planes = SIM.lsh_planes(dim, nbits)
     terms = []
     for j, p in enumerate(planes):
@@ -1954,7 +1961,6 @@ def _lsh_near_dup_oracle(dim: int = 64, nbits: int = 32, nbands: int = 4) -> str
             f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
         )
     bits = "\n           + ".join(terms)
-    width = nbits // nbands
     mask = (1 << width) - 1
     return f"""
     WITH _sig AS (
@@ -1982,7 +1988,7 @@ def _lsh_near_dup_oracle(dim: int = 64, nbits: int = 32, nbands: int = 4) -> str
     WHERE round(list_dot_product(sa.embedding::DOUBLE[], sb.embedding::DOUBLE[]) /
                 (sqrt(list_dot_product(sa.embedding::DOUBLE[], sa.embedding::DOUBLE[])) *
                  sqrt(list_dot_product(sb.embedding::DOUBLE[], sb.embedding::DOUBLE[]))),
-                6) >= 0.35
+                6) >= {threshold}
     """
 
 
@@ -1993,7 +1999,11 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_id, band_bits) equi-join, never a cross join; the brute-force
     all-pairs form above stays as the small-SF recall baseline).
     Precision is 1.0 by construction (exact rounded-cosine verify);
-    recall vs brute force is pytest-checked."""
+    the banding is derived from the registered threshold by
+    dedup.lsh_band_plan so per-pair recall at the operating point is
+    ≥ 0.95 by construction (0.35 → 12 bands × 3 bits here; the
+    testdata's pair population tops out near that cosine), and recall
+    vs brute force on noise-perturbed pairs is pytest-checked."""
     from loganalyzer_spark.operators import dedup as DD
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))

@@ -262,6 +262,67 @@ def test_embedding_near_dups_lsh_recall(spark):
     assert lsh_pairs <= exact_pairs  # precision 1.0 (verified pairs only)
 
 
+def test_lsh_band_plan_guarantees():
+    """The derived (nbands, width) must hit target recall at the
+    operating threshold and fit one 63-bit long signature."""
+    import math
+
+    from loganalyzer_spark.operators.dedup import lsh_band_plan
+
+    for t in (0.35, 0.5, 0.7, 0.9, 0.95, 0.99, 1.0):
+        b, w = lsh_band_plan(t, target_recall=0.95)
+        assert 1 <= b * w <= 60
+        p = 1.0 - math.acos(min(t, 1.0)) / math.pi
+        recall_at_t = 1.0 - (1.0 - p**w) ** b
+        assert recall_at_t >= 0.95 - 1e-9, (t, b, w, recall_at_t)
+
+
+def test_embedding_near_dups_lsh_recall_at_registered_threshold(spark):
+    """Recall vs brute force at the REGISTERED operating point (0.35)
+    on realistic noise-perturbed pairs — not near-identical twins,
+    which any banding passes.  Guards the round-2 defect: a fixed
+    4×8-bit plan retrieved ~7 % of true pairs at this threshold; the
+    threshold-derived plan must retrieve ≥ 90 %."""
+    import numpy as np
+
+    from loganalyzer_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(7)
+    dim, t = 64, 0.35
+    rows = []
+    vid = 0
+    true_pairs = 0
+    for _ in range(60):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        # perturbed partner with cosine spread across [~t, ~0.9]:
+        # mix with an orthogonalized noise vector at a random angle
+        n = rng.normal(size=dim)
+        n -= n.dot(v) * v
+        n /= np.linalg.norm(n)
+        c = rng.uniform(t + 0.02, 0.9)
+        w = c * v + np.sqrt(1 - c * c) * n
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        vid += 2
+        true_pairs += 1
+    emb = spark.createDataFrame(rows, "vec_id: int, embedding: array<double>")
+
+    exact = {
+        (r["a"], r["b"])
+        for r in DD.embedding_near_dups(emb, threshold=t).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in DD.embedding_near_dups_lsh(emb, threshold=t).collect()
+    }
+    assert lsh <= exact  # precision 1.0
+    planted = {(i, i + 1) for i in range(0, 2 * true_pairs, 2)} & exact
+    assert len(planted) >= 50  # the construction really plants pairs >= t
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.90, f"recall {recall:.3f} over {len(planted)} pairs"
+
+
 def test_sources_table_abstraction(spark, tmp_path):
     """Iceberg-or-parquet source layer: ref detection, parquet fallback
     read, MERGE SQL shape, and the parquet upsert emulation."""
