@@ -581,6 +581,84 @@ def cm_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cm block/table corpus (M3 presets): a fixed per-doc boot-log script
+# exercising every machine of extensions/cm/preprocess.py:48-178 —
+# BLOCK_RM start/end, BLOCK_RM_PRI, BLOCK_INDENT (empty-ended),
+# BLOCK_INDENT2 (pattern-ended), TABLE_TITLE(+_COMMON). Blocks are
+# contiguous and non-interleaved, like the reference's own boot logs
+# (the shared-state machine and the window composition agree exactly on
+# such corpora — see operators/blocks.py:cm_block_presets).
+# ---------------------------------------------------------------------------
+
+# (line_no, content SQL expr over r2). Variable payloads keep the
+# machines honest (state must come from patterns, not literals).
+_CM_BLOCK_SCRIPT: list[str] = [
+    "'CM boot normal line val=' || cast(r2 % 17 as varchar)",
+    "'Downloading LEAP image'",                                 # RM start
+    "'dload progress ' || cast(r2 % 100 as varchar) || '%'",    # removed
+    "'  flash sector ' || cast(r2 % 50 as varchar)",            # removed
+    "'>>>>ChipID=0x339' || cast(r2 % 10 as varchar)",           # RM end: KEPT
+    "'normal line two val=' || cast(r2 % 7 as varchar)",
+    "'===== Read Leap AIF Status ====='",                       # INDENT start
+    "'AIF cnt ' || cast(r2 % 5 as varchar)",                    # -> indented
+    "'AIF state ok'",                                           # -> indented
+    "''",                                                       # ends indent
+    "'== Beginning initial ranging for Docsis UCID ' || cast(1 + r2 % 4 as varchar)",
+    "'ranging attempt ' || cast(r2 % 3 as varchar)",            # -> indented
+    "'Using clamped minimum transmit power'",                   # INDENT2 end (indented)
+    "'Downstream Active Channel Settings'",                     # TABLE_TITLE: removed
+    "' dcid      type      frequency'",                         # TABLE_TITLE: removed
+    "' ----------------------------'",                          # TITLE_COMMON start
+    "' 1  qam256  555000000 ' || cast(r2 % 9 as varchar)",      # removed (title blk)
+    "''",                                                       # ends title blk
+    "'    tap values:'",                                        # RM_PRI start
+    "'  0x' || cast(r2 % 16 as varchar) || ' 0x22'",            # removed (nested)
+    "'primary resume line ' || cast(r2 % 11 as varchar)",       # primary: KEPT
+    "'tail line ' || cast(r2 % 13 as varchar)",
+]
+
+
+def cm_block_lines_sql(dialect: str, docs_from: str) -> str:
+    """cm block corpus: (doc_id, line_no, content), dual-dialect."""
+    n = len(_CM_BLOCK_SCRIPT)
+    if dialect == "spark":
+        from_clause = (
+            f"FROM {docs_from} LATERAL VIEW "
+            f"explode(sequence(0, {n - 1})) _t AS line_no"
+        )
+    else:
+        from_clause = (
+            f"FROM {docs_from}, "
+            f"unnest(generate_series(0, {n - 1})) AS _t(line_no)"
+        )
+    arms = "\n        ".join(
+        f"WHEN line_no = {i} THEN {expr}"
+        for i, expr in enumerate(_CM_BLOCK_SCRIPT[:-1])
+    )
+    sql = f"""
+    WITH _blkbase AS (
+      SELECT doc_id, line_no,
+             (doc_id * 40503 + line_no * 69621) % 100000 AS r2
+      {from_clause}
+    )
+    SELECT doc_id, line_no,
+      CASE
+        {arms}
+        ELSE {_CM_BLOCK_SCRIPT[-1]}
+      END AS content
+    FROM _blkbase
+    """
+    return sql.replace(" as varchar", " as string") if dialect == "spark" else sql
+
+
+def cm_block_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).createOrReplaceTempView("__cm_blk_docs")
+    return spark.sql(cm_block_lines_sql("spark", "__cm_blk_docs"))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB-side dimension literals (for oracle SQL)
 # ---------------------------------------------------------------------------
 

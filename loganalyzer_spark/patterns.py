@@ -302,3 +302,83 @@ SQL_STD_TS = (
     "\\d{4}-\\d{2}-\\d{2} (([01]\\d|2[0-3]):([0-5]\\d):([0-5]\\d)|24:00:00) "
     "(abn: )?(segsign: )?(c[0-9]{3} )?"
 )
+
+
+# ---------------------------------------------------------------------------
+# cm block/table presets (M3 preset data): the cable-modem extension's
+# block-remove / block-indent / table-title machines
+# (extensions/cm/preprocess.py:48-178 drives them; pattern data at
+# extensions/cm/patterns.py — line refs below). Pattern texts reproduced
+# verbatim: they are data (SURVEY §4.4); the reference applies them with
+# re.match (anchored at start), so the Spark/DuckDB forms prepend '^'.
+# ---------------------------------------------------------------------------
+
+# extensions/cm/patterns.py:212-216 — block removed entirely,
+# [start inclusive, end exclusive): the end line survives.
+PTN_BLOCK_RM_START = re.compile(
+    r'\| This image is built using remote flash as nonvol.|'
+    r'Downloading LEAP image|'
+    r'Initializing DS Docsis 3.0 MAC'
+)
+
+# extensions/cm/patterns.py:218-222
+PTN_BLOCK_RM_END = re.compile(
+    r'>>>>ChipID=0x339\d+|'
+    r'>>>AP dload time|'
+    r'(Running the system...)|(Automatically stopping at console)'
+)
+
+# extensions/cm/patterns.py:202-206 — block removed until the first
+# primary (non-nested, non-empty) line, end exclusive.
+PTN_BLOCK_RM_PRI = re.compile(
+    r' {4}tap values:|'
+    r' *Trimmed Downstream Ambiguity Resolution Frequency List|'
+    r'=== Default Router List ==='
+)
+
+# extensions/cm/patterns.py:132-134 — a nested (embedded) line starts
+# with whitespace.
+PTN_NESTED_LINE = re.compile(r' +|\t+')
+
+# extensions/cm/patterns.py:165-167 — indent the block after this line
+# (first line NOT indented); an empty line ends the block.
+PTN_BLOCK_INDENT = re.compile(r'===== Read Leap AIF Status =====')
+
+# extensions/cm/patterns.py:170-172 — indent until PTN_BLOCK_INDENT2_END
+# matches (that end line IS indented too).
+PTN_BLOCK_INDENT2 = re.compile(r'== Beginning initial ranging for Docsis UCID')
+
+# extensions/cm/patterns.py:174-179
+PTN_BLOCK_INDENT2_END = re.compile(
+    r'Using clamped minimum transmit power|'
+    r'Using bottom of DRW initial upstream power|'
+    r'Using per transmitter stored initial upstream power|'
+    r'TCC ranging parameters specified power offset of'
+)
+
+# extensions/cm/patterns.py:108-126 — title lines of specific tables,
+# removed statelessly (preprocess.py:171-172).
+PTN_TABLE_TITLE = re.compile(
+    r' *Trimmed Candidate Downstream Service Group|'
+    r' *sgid +size +member|'
+    r' *Downstream Active Channel Settings|'
+    r' *dcid +type +frequency|'
+    r' *Upstream Active Channel Settings|'
+    r' *ucid +rpt enable|'
+    r' *BcmCmUsTargetMset \(a.k.a. usable UCDs|'
+    r' *us +config|'
+    r' *phy +change|'
+    r' *type +ucid +dcid +count|'
+    r' *REG-RSP-MP Summary:|'
+    r' *TCC commands->|'
+    r' *ucid +action +ranging strategy|'
+    r' *Service Flow settings->|'
+    r' *sfid +sid +ucids|'
+    r' *DSID settings->|'
+    r' *dsid +action +reseq|'
+    r' {5}US chan ID {5}Tx Power \(dBmV\)'
+)
+
+# extensions/cm/patterns.py:227-230 — common "----" table titles start a
+# remove-until-empty-line block (preprocess.py:156-168).
+PTN_TABLE_TITLE_COMMON = re.compile(r' *----')

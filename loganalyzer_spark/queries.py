@@ -42,6 +42,8 @@ def register(name: str, oracle: str | None):
 # Each demoted entry stays fully registered — the local gate
 # (tools/check_oracle.py) still checks all of them.
 _DEMOTED = [
+    "block_removal",                # generic machine; block_presets_cm runs it
+                                    # with the real cm pattern data
     "template_occurrences_salted",  # ≡ template_occurrences (skew path)
     "nested_fold_narrow",           # ≡ nested_fold (zero-shuffle form)
     "sessionize_events",            # ≡ session_window_stats (manual form)
@@ -1431,6 +1433,95 @@ def block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = datagen.raw_lines(spark, sf_dir)
     out = B.remove_blocks(lines, _BLOCK_START, _BLOCK_END)
     return out.select("doc_id", "line_no", "content")
+
+
+def _cm_block_oracle() -> str:
+    """DuckDB rederivation of the five cm block/table machines
+    (operators/blocks.py:cm_block_presets) over the cm block corpus —
+    each machine is the same last(marker IGNORE NULLS) window."""
+    from loganalyzer_spark import patterns as PT
+
+    def pat(p) -> str:
+        return "^(?:" + p.pattern.replace("'", "''") + ")"
+
+    s1, e1 = pat(PT.PTN_BLOCK_RM_START), pat(PT.PTN_BLOCK_RM_END)
+    s2, nest = pat(PT.PTN_BLOCK_RM_PRI), pat(PT.PTN_NESTED_LINE)
+    s3 = pat(PT.PTN_BLOCK_INDENT)
+    s4, e4 = pat(PT.PTN_BLOCK_INDENT2), pat(PT.PTN_BLOCK_INDENT2_END)
+    t5, t6 = pat(PT.PTN_TABLE_TITLE_COMMON), pat(PT.PTN_TABLE_TITLE)
+    win = (
+        "OVER (PARTITION BY doc_id ORDER BY line_no "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+    WITH _blk AS ({datagen.cm_block_lines_sql("duckdb", "documents")}),
+    _s1 AS (
+      SELECT doc_id, line_no, content,
+             coalesce(last(CASE WHEN regexp_matches(content, '{s1}') THEN 1
+                                WHEN regexp_matches(content, '{e1}') THEN 0
+                           END IGNORE NULLS) {win}, 0) AS p
+      FROM _blk),
+    _f1 AS (SELECT doc_id, line_no, content FROM _s1
+            WHERE NOT (regexp_matches(content, '{s1}')
+                       OR (p = 1 AND NOT regexp_matches(content, '{e1}')))),
+    _s2 AS (
+      SELECT doc_id, line_no, content,
+             coalesce(last(CASE WHEN regexp_matches(content, '{s2}') THEN 1
+                                WHEN NOT regexp_matches(content, '{nest}')
+                                     AND content <> '' THEN 0
+                           END IGNORE NULLS) {win}, 0) AS p
+      FROM _f1),
+    _f2 AS (SELECT doc_id, line_no, content FROM _s2
+            WHERE NOT (regexp_matches(content, '{s2}')
+                       OR (p = 1 AND (regexp_matches(content, '{nest}')
+                                      OR content = '')))),
+    _s3 AS (
+      SELECT doc_id, line_no, content,
+             coalesce(last(CASE WHEN regexp_matches(content, '{s3}') THEN 1
+                                WHEN content = '' THEN 0
+                           END IGNORE NULLS) {win}, 0) AS p
+      FROM _f2),
+    _i3 AS (SELECT doc_id, line_no,
+                   CASE WHEN p = 1 AND NOT regexp_matches(content, '{s3}')
+                             AND content <> ''
+                        THEN ' ' || content ELSE content END AS content
+            FROM _s3),
+    _s4 AS (
+      SELECT doc_id, line_no, content,
+             coalesce(last(CASE WHEN regexp_matches(content, '{s4}') THEN 1
+                                WHEN regexp_matches(content, '{e4}') THEN 0
+                           END IGNORE NULLS) {win}, 0) AS p
+      FROM _i3),
+    _i4 AS (SELECT doc_id, line_no,
+                   CASE WHEN p = 1 AND NOT regexp_matches(content, '{s4}')
+                        THEN ' ' || content ELSE content END AS content
+            FROM _s4),
+    _s5 AS (
+      SELECT doc_id, line_no, content,
+             coalesce(last(CASE WHEN regexp_matches(content, '{t5}') THEN 1
+                                WHEN content = '' THEN 0
+                           END IGNORE NULLS) {win}, 0) AS p
+      FROM _i4),
+    _f5 AS (SELECT doc_id, line_no, content FROM _s5
+            WHERE NOT (regexp_matches(content, '{t5}')
+                       OR (p = 1 AND content <> '')))
+    SELECT doc_id, line_no, content FROM _f5
+    WHERE NOT regexp_matches(content, '{t6}')
+    """
+
+
+@register("block_presets_cm", _cm_block_oracle())
+def block_presets_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 presets: the cm extension's concrete block/table machines —
+    PTN_BLOCK_RM_START/END (extensions/cm/patterns.py:212-222),
+    PTN_BLOCK_RM_PRI (:202-206), PTN_BLOCK_INDENT (:165-167),
+    PTN_BLOCK_INDENT2(+_END) (:170-179), PTN_TABLE_TITLE(_COMMON)
+    (:108-126, :227-230) — run as window state machines over a
+    boot-log-shaped corpus. tests/test_blocks.py proves the window
+    composition equal to the literal shared-state reference machine and
+    the pattern constants byte-equal to the reference's."""
+    lines = datagen.cm_block_lines(spark, sf_dir)
+    return B.cm_block_presets(lines).select("doc_id", "line_no", "content")
 
 
 @register(

@@ -50,3 +50,76 @@ def test_block_removal_on_corpus(spark):
     w = remove_blocks(lines, s, e).select("doc_id", "line_no")
     p = remove_blocks_pandas(lines, s, e).select("doc_id", "line_no")
     assert w.exceptAll(p).count() == 0 and p.exceptAll(w).count() == 0
+
+
+def _ref_cm_patterns():
+    """Load the reference cm patterns module read-only (no copying)."""
+    import importlib.util
+    import sys
+    import types
+
+    sys.modules.setdefault("analyzer", types.ModuleType("analyzer"))
+    utils_pkg = types.ModuleType("analyzer.utils")
+    sys.modules.setdefault("analyzer.utils", utils_pkg)
+    ref = "/root/reference/analyzer"
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    misc = load("analyzer.utils.misc_regex", f"{ref}/utils/misc_regex.py")
+    sys.modules["analyzer.utils"].misc_regex = misc
+    return load("_ref_cm_patterns_blocks", f"{ref}/extensions/cm/patterns.py")
+
+
+def test_cm_block_patterns_equal_reference():
+    """Preset constants are byte-identical to the reference's
+    (extensions/cm/patterns.py:108-230)."""
+    from loganalyzer_spark import patterns as P
+
+    ref = _ref_cm_patterns()
+    for name in (
+        "PTN_BLOCK_RM_START",
+        "PTN_BLOCK_RM_END",
+        "PTN_BLOCK_RM_PRI",
+        "PTN_BLOCK_INDENT",
+        "PTN_BLOCK_INDENT2",
+        "PTN_BLOCK_INDENT2_END",
+        "PTN_TABLE_TITLE",
+        "PTN_TABLE_TITLE_COMMON",
+        "PTN_NESTED_LINE",
+    ):
+        assert getattr(P, name).pattern == getattr(ref, name).pattern, name
+
+
+def test_cm_block_presets_window_equals_shared_state_machine(spark):
+    """The five-machine window composition == the literal shared-state
+    machine (one in_log_blk variable, reference branch order) on the
+    generated cm block corpus — contents AND survivors."""
+    from loganalyzer_spark import datagen
+    from loganalyzer_spark.operators.blocks import (
+        cm_block_presets,
+        cm_block_presets_pandas,
+    )
+
+    lines = datagen.cm_block_lines(spark, SF_SMALL)
+    w = cm_block_presets(lines)
+    p = cm_block_presets_pandas(lines)
+    assert w.exceptAll(p).count() == 0 and p.exceptAll(w).count() == 0
+    # sanity: blocks were actually exercised (removals + indents)
+    n_in, n_out = lines.count(), w.count()
+    assert n_out < n_in
+    from pyspark.sql import functions as F
+
+    assert w.filter(F.col("content").startswith(" AIF cnt ")).count() > 0
+    assert (
+        w.filter(
+            F.col("content") == " Using clamped minimum transmit power"
+        ).count()
+        > 0
+    )
+    assert w.filter(F.col("content").rlike("^>>>>ChipID=0x339")).count() > 0
+    assert w.filter(F.col("content").startswith("Downloading LEAP")).count() == 0
