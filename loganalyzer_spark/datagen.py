@@ -659,6 +659,104 @@ def cm_block_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M5 messed-line corpus: thread-interleaved broken lines
+# (reference parser.py:189-308 rcv_mess). The pipeline corpus never
+# produces unmatched lines starting with the cared header chars, so M5
+# needs its own staged table (doc_id, line_no, event_id_old,
+# event_template) with every machine case planted: split-found stitch,
+# case-3 whole-head stitch (trigger dropped), a plain unmatched
+# pass-through, and an out-of-SCAN_RANGE abort.
+# ---------------------------------------------------------------------------
+
+
+def _eid(template: str) -> str:
+    return hashlib.md5(template.encode("utf-8")).hexdigest()[:8]
+
+
+_M5_T_RETR = "Command: RETR <*>"
+_M5_T_DISC = "Status: Disconnected from server"
+_M5_T_SOCK = "Trace: CControlSocket:: SendNextCommand()"
+
+
+def _m5_script() -> list[tuple[str, str]]:
+    """(event_id_old expr, event_template expr) per line_no."""
+    rows: list[tuple[str, str]] = [
+        (f"'{_eid(_M5_T_RETR)}'", f"'{_M5_T_RETR}'"),
+        # trigger: head 'Load module N ' glued onto a known template —
+        # split search finds md5(tail) in the lib
+        ("'0'",
+         f"'Load module ' || cast(r2 % 9 as varchar) || ' ' || '{_M5_T_DISC}'"),
+        # consumer: stitched with the trigger's head
+        ("'0'", "'tail fragment ' || cast(r2 % 7 as varchar)"),
+        (f"'{_eid(_M5_T_RETR)}'", f"'{_M5_T_RETR}'"),
+        # case 3: care head with NO valid split — dropped, whole line
+        # becomes the head for the next unmatched line
+        ("'0'", "'CM fragment head ' || cast(r2 % 5 as varchar)"),
+        ("'0'", "'tail piece ' || cast(r2 % 11 as varchar)"),
+        # plain unmatched non-care line: passes through untouched
+        ("'0'", "'plain unmatched ' || cast(r2 % 17 as varchar)"),
+        # trigger whose consumer is out of SCAN_RANGE (22 matched lines
+        # in between) — the consumer aborts and keeps its own text
+        ("'0'",
+         f"'Line head ' || cast(r2 % 3 as varchar) || ' ' || '{_M5_T_SOCK}'"),
+    ]
+    rows += [(f"'{_eid(_M5_T_DISC)}'", f"'{_M5_T_DISC}'")] * 22
+    rows += [
+        ("'0'", "'late tail ' || cast(r2 % 13 as varchar)"),
+        (f"'{_eid(_M5_T_RETR)}'", f"'{_M5_T_RETR}'"),
+    ]
+    return rows
+
+
+def messed_lines_sql(dialect: str, docs_from: str) -> str:
+    """M5 staged corpus, dual-dialect."""
+    script = _m5_script()
+    n = len(script)
+    if dialect == "spark":
+        from_clause = (
+            f"FROM {docs_from} LATERAL VIEW "
+            f"explode(sequence(0, {n - 1})) _t AS line_no"
+        )
+    else:
+        from_clause = (
+            f"FROM {docs_from}, "
+            f"unnest(generate_series(0, {n - 1})) AS _t(line_no)"
+        )
+    eido_arms = "\n        ".join(
+        f"WHEN line_no = {i} THEN {e}" for i, (e, _t) in enumerate(script[:-1])
+    )
+    temp_arms = "\n        ".join(
+        f"WHEN line_no = {i} THEN {t}" for i, (_e, t) in enumerate(script[:-1])
+    )
+    last_e, last_t = script[-1]
+    sql = f"""
+    WITH _m5base AS (
+      SELECT doc_id, line_no,
+             (doc_id * 24693 + line_no * 40503) % 100000 AS r2
+      {from_clause}
+    )
+    SELECT doc_id, line_no,
+      CASE
+        {eido_arms}
+        ELSE {last_e}
+      END AS event_id_old,
+      CASE
+        {temp_arms}
+        ELSE {last_t}
+      END AS event_template
+    FROM _m5base
+    """
+    return sql.replace(" as varchar", " as string") if dialect == "spark" else sql
+
+
+def messed_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).createOrReplaceTempView("__m5_docs")
+    return spark.sql(messed_lines_sql("spark", "__m5_docs"))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB-side dimension literals (for oracle SQL)
 # ---------------------------------------------------------------------------
 

@@ -1692,20 +1692,97 @@ def renumber_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
 from loganalyzer_spark.operators import recover as R  # noqa: E402
 
 
-@register("messed_recovery", None)
+def _messed_oracle() -> str:
+    """DuckDB rederivation of the M5 machine (parser.py:189-308).
+
+    The machine's state transitions depend ONLY on the care-flag
+    sequence of the unmatched lines — both the split-found and the
+    case-3 branch set ``m1_found``, and any unmatched line consumes it
+    — so the sequential scan collapses to closed-form windows: pending
+    after a care line = (its 1-based position within the contiguous
+    care-run is odd); every consumer's trigger is the immediately
+    preceding unmatched line (lag); the split point is the min i whose
+    tail md5 is a known event id (lateral generate_series)."""
+    return f"""
+    WITH _m AS ({datagen.messed_lines_sql("duckdb", "documents")}),
+    _lib AS (SELECT event_id FROM {datagen.duckdb_templates_values()}),
+    _idx AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY line_no) - 1 AS idx
+      FROM _m),
+    _un AS (
+      SELECT *,
+             CASE WHEN event_template <> ''
+                       AND substr(event_template, 1, 1) IN ('L', 'C')
+                  THEN 1 ELSE 0 END AS care,
+             row_number() OVER (PARTITION BY doc_id ORDER BY line_no) AS k
+      FROM _idx WHERE event_id_old = '0'),
+    _seg AS (
+      SELECT *,
+             coalesce(sum(1 - care) OVER (
+                 PARTITION BY doc_id ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      FROM _un),
+    _p AS (
+      SELECT *,
+             CASE WHEN care = 1 AND sum(care) OVER (
+                      PARTITION BY doc_id, seg ORDER BY k) % 2 = 1
+                  THEN 1 ELSE 0 END AS pending
+      FROM _seg),
+    _split AS (
+      SELECT p.doc_id, p.k, min(t.i) AS split_i
+      FROM _p p, unnest(generate_series(1, length(p.event_template))) AS t(i)
+      WHERE p.pending = 1
+        AND substr(md5(substr(p.event_template, t.i + 1)), 1, 8)
+              IN (SELECT event_id FROM _lib)
+      GROUP BY p.doc_id, p.k),
+    _trig AS (
+      SELECT p.*, s.split_i,
+             CASE WHEN s.split_i IS NULL THEN p.event_template
+                  WHEN substr(md5(substr(p.event_template, s.split_i + 1)),
+                              1, 8) = 'b9c1fdb1'
+                       THEN substr(p.event_template, 1, s.split_i - 1)
+                  ELSE substr(p.event_template, 1, s.split_i) END AS head,
+             substr(p.event_template, s.split_i + 1) AS tail
+      FROM _p p LEFT JOIN _split s USING (doc_id, k)),
+    _cons AS (
+      SELECT t.*,
+             lag(pending, 1, 0) OVER w AS prev_p,
+             lag(idx) OVER w AS prev_idx,
+             lag(head) OVER w AS prev_head
+      FROM _trig t
+      WINDOW w AS (PARTITION BY doc_id ORDER BY k)),
+    _un_out AS (
+      SELECT doc_id, line_no, event_id_old,
+             CASE
+               WHEN prev_p = 1 AND idx - prev_idx <= 20
+                    THEN prev_head || event_template
+               WHEN prev_p = 1 THEN event_template
+               WHEN pending = 1 AND split_i IS NOT NULL THEN tail
+               WHEN pending = 1 THEN NULL
+               ELSE event_template
+             END AS recovered
+      FROM _cons)
+    SELECT doc_id, line_no, event_id_old, event_template AS recovered
+    FROM _idx WHERE event_id_old <> '0'
+    UNION ALL
+    SELECT doc_id, line_no, event_id_old, recovered
+    FROM _un_out WHERE recovered IS NOT NULL
+    """
+
+
+@register("messed_recovery", _messed_oracle())
 def messed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5: stitch thread-interleaved broken lines (bounded lookahead,
-    applyInPandas per doc — no cross-partition state)."""
-    lines = P.mask(P.wash(datagen.raw_lines(spark, sf_dir)))
-    matched = M.match_templates(lines, datagen.templates_df(spark))
-    staged = matched.select(
-        "doc_id",
-        "line_no",
-        F.when(F.col("is_new") == 1, F.lit("0"))
-        .otherwise(F.col("event_id"))
-        .alias("event_id_old"),
-        "event_template",
-    )
+    """M5: stitch thread-interleaved broken lines (bounded SCAN_RANGE
+    lookahead, applyInPandas per doc — no cross-partition state) over a
+    staged corpus planting every machine case: split-found stitch,
+    case-3 whole-head stitch with the trigger dropped, plain unmatched
+    pass-through, and out-of-range abort. The oracle re-derives the
+    sequential machine in closed form (care-run parity + lag windows),
+    so the hash certifies the full recovery semantics; the pipeline-fed
+    corpus never produces cared unmatched lines, which made the old
+    rows-only registration vacuous."""
+    staged = datagen.messed_lines(spark, sf_dir)
     out = R.recover_messed_lines(staged, datagen.templates_df(spark))
     return out.select("doc_id", "line_no", "event_id_old", "recovered")
 

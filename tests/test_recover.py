@@ -133,3 +133,61 @@ def test_recover_distributed_matches_oracle(spark):
     got_pairs = list(zip(got["doc_id"], got["line_no"], got["recovered"]))
     want_pairs = list(zip(want["doc_id"], want["line_no"], want["recovered"]))
     assert got_pairs == want_pairs
+
+
+def test_messed_corpus_exercises_every_case(spark):
+    """The M5 staged corpus actually fires each machine branch:
+    split-found stitch, case-3 stitch (trigger dropped), plain
+    pass-through, out-of-range abort."""
+    from pyspark.sql import functions as F
+
+    from loganalyzer_spark import datagen
+    from loganalyzer_spark.operators.recover import recover_messed_lines
+    from tests.conftest import SF_SMALL
+
+    staged = datagen.messed_lines(spark, SF_SMALL)
+    out = recover_messed_lines(staged, datagen.templates_df(spark)).cache()
+    n_docs = staged.select("doc_id").distinct().count()
+
+    # split-found trigger emits the known tail template
+    assert (
+        out.filter(
+            (F.col("line_no") == 1)
+            & (F.col("recovered") == "Status: Disconnected from server")
+        ).count()
+        == n_docs
+    )
+    # its consumer is stitched with the 'Load module N ' head
+    assert (
+        out.filter(
+            (F.col("line_no") == 2)
+            & F.col("recovered").rlike("^Load module \\d tail fragment \\d$")
+        ).count()
+        == n_docs
+    )
+    # case-3 trigger dropped; consumer stitched with the full head
+    assert out.filter(F.col("line_no") == 4).count() == 0
+    assert (
+        out.filter(
+            (F.col("line_no") == 5)
+            & F.col("recovered").rlike("^CM fragment head \\dtail piece \\d+$")
+        ).count()
+        == n_docs
+    )
+    # plain unmatched line untouched
+    assert (
+        out.filter(
+            (F.col("line_no") == 6)
+            & (F.col("recovered") == F.col("event_template"))
+        ).count()
+        == n_docs
+    )
+    # out-of-range consumer aborts (kept unchanged), 23 lines after its trigger
+    assert (
+        out.filter(
+            (F.col("line_no") == 30)
+            & F.col("recovered").rlike("^late tail \\d+$")
+        ).count()
+        == n_docs
+    )
+    out.unpersist()
