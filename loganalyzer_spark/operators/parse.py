@@ -78,6 +78,53 @@ def _normalize_response_expr(col) -> Column:
     return F.when(e.startswith("Response: "), out.otherwise(e)).otherwise(e)
 
 
+# Each split pattern can only fire on a line containing its literal
+# anchor char ('=', '::', '(' and ')' — the lookarounds are zero-width),
+# so a line containing none of them is a fixed point of the whole P5
+# chain. contains() compiles to UTF8String.contains (substring scan, no
+# regex), so gating the 4 regexp_replace passes behind it skips the
+# regex machinery for the majority of corpus lines.
+_SPLIT_GATE_LITS = ("=", "::", "(", ")")
+
+
+def _split_gate_cond(e: Column) -> Column:
+    gate = None
+    for lit in _SPLIT_GATE_LITS:
+        c = e.contains(lit)
+        gate = c if gate is None else gate | c
+    return gate
+
+
+def _content_expr(col) -> Column:
+    """Fused P6→P5 content expression over a (cheap) column reference.
+
+    Reference order is normalize-response THEN split (preprocess_base
+    .py:376 after ftp/preprocess.py:30-37). The canonical response
+    strings are proven fixed points of split_tokens at import time, so
+    a canonical hit folds the whole P5 chain away; every other line
+    runs P5 only when the split gate says a pattern can fire. The
+    split chain appears in two branches of the expression tree, but
+    each row evaluates exactly one branch, and the duplicated leaves
+    are plain attribute refs — no re-computation (CLAUDE.md's
+    no-cross-operator-CSE hazard applies to filters, not when()).
+    """
+    e = F.col(col) if isinstance(col, str) else col
+    split_gated = F.when(_split_gate_cond(e), _split_tokens_expr(e)).otherwise(e)
+    rsp = None
+    for ptn, canonical in P.PTN_RSP_STAT:
+        folded = P.split_tokens(canonical)
+        assert folded == canonical, f"canonical not a P5 fixed point: {canonical!r}"
+        cond = e.rlike("^" + ptn.pattern)
+        rsp = (
+            F.when(cond, F.lit(folded))
+            if rsp is None
+            else rsp.when(cond, F.lit(folded))
+        )
+    return F.when(
+        e.startswith("Response: "), rsp.otherwise(split_gated)
+    ).otherwise(split_gated)
+
+
 # Cheap first-character gate for the PTN_LINE_RM filter: every branch of
 # the alternation can only match a line starting with one of these
 # characters (by inspection of cm/patterns.py:79-103 — asterisk/plus
@@ -146,10 +193,7 @@ def wash(lines: DataFrame, raw: str = "raw") -> DataFrame:
         # which no branch accepts).
         .filter(~_line_rm_cond("_cleaned"))
         # P6 then P5 in one single-consumer chain — evaluated once.
-        .withColumn(
-            "content",
-            _split_tokens_expr(_normalize_response_expr("_cleaned")),
-        )
+        .withColumn("content", _content_expr("_cleaned"))
         .drop("_pfx", "_stripped", "_cleaned")
     )
 

@@ -191,6 +191,29 @@ def test_jvm_split_and_rsp_byte_identical(spark, ref_ftp):
         assert out[c][1] == ref_rsp(c, ref_ftp), f"rsp: {c!r}"
 
 
+def test_jvm_fused_content_equals_reference_chain(spark, ref_ftp):
+    """The production fused/gated content expr (P6 canonical fold + P5
+    split gate) == the reference composition split(rsp(line)) byte-for-
+    byte — the gates and the constant fold must be transparent."""
+    from pyspark.sql import functions as F
+
+    from loganalyzer_spark.operators.parse import _content_expr
+
+    cases = SPLIT_CASES + RSP_CASES + [
+        "",                       # empty survives the gate untouched
+        "no gate chars at all",   # split gate false
+        "Response: 211-has (gate) chars=y",  # canonical fold wins over split
+        "Response: 999 unknown (x) a=b",     # rsp miss -> gated split runs
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "line string")
+    got = {
+        r["line"]: r["content"]
+        for r in df.select("line", _content_expr("line").alias("content")).collect()
+    }
+    for c in cases:
+        assert got[c] == ref_split(ref_rsp(c, ref_ftp), ref_ftp), f"content: {c!r}"
+
+
 def test_jvm_line_rm_matches_python_match(spark, ref_cm):
     """The gated wash condition (first-char gate + anchored Java rlike)
     == Python .match for PTN_LINE_RM — the gate must be transparent."""
