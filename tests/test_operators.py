@@ -166,14 +166,50 @@ def test_multimodal_decode_stub(spark):
     assert len(by_id[1]["features"]) == MM.FEATURE_DIM
     assert by_id[2]["n_bytes"] == 4
     assert all(0.0 <= x <= 1.0 for r in feats for x in r["features"])
-    with pytest.raises(NotImplementedError):
-        MM.decode_features(media, fake=False)
+    # payloads with no built-in decoder magic raise from the executor
+    with pytest.raises(Exception, match="NotImplementedError|no built-in decoder"):
+        MM.decode_features(media, fake=False).collect()
 
     frames = MM.frame_sample(media, every_ms=1000).collect()
     assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000, 4000]
 
     rs = {r["media_id"]: r for r in MM.resize_meta(media, 64).collect()}
     assert rs[2]["target_w"] == 64 and rs[2]["target_h"] == 32
+
+
+def test_multimodal_real_decode(spark):
+    """Pure-numpy PPM/BMP codecs: lossless round-trip, and the Spark
+    kernel's features equal the direct numpy computation."""
+    import numpy as np
+
+    from loganalyzer_spark.operators import multimodal as MM
+
+    # deterministic gradient test image, odd width to exercise BMP padding
+    h, w = 13, 17
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 15) % 256, (yy * 19) % 256, (xx * yy) % 256], axis=-1
+    ).astype(np.uint8)
+
+    assert np.array_equal(MM.decode_ppm(MM.encode_ppm(img)), img)
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(img)), img)
+    # header comment/whitespace handling per the netpbm spec
+    with_comment = b"P6\n# a comment\n%d %d\n255\n" % (w, h) + img.tobytes()
+    assert np.array_equal(MM.decode_ppm(with_comment), img)
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(MM.encode_ppm(img)), (w, h, 0, "ppm")),
+            (2, "image", bytearray(MM.encode_bmp(img)), (w, h, 0, "bmp")),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in MM.decode_features(media, fake=False).collect()}
+    expect = MM.image_features(img).tolist()
+    for mid in (1, 2):
+        got = rows[mid]["features"]
+        assert np.allclose(got, expect), (mid, got, expect)
+    assert rows[1]["n_bytes"] == len(MM.encode_ppm(img))
 
 
 def test_logreg_training_learns(spark):
