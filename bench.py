@@ -88,6 +88,7 @@ def main() -> None:
     from loganalyzer_spark.session import get_spark
 
     spark = get_spark(app="loganalyzer_spark_bench")
+    probe_start = _host_mem_probe_mb_s()
 
     registry = qmod.queries()
     timings: dict[str, float] = {}
@@ -124,7 +125,27 @@ def main() -> None:
         return pipeline.sink_aggregates(routed, "1 minute")
 
     _run_count(build_agg())  # warm (fresh plan below: no AQE stage reuse)
-    e2e, n_groups = _median3(build_agg)
+    # The e2e section is the bench's biggest memory churner and the
+    # most exposed to the virtio free-page-reporting hazard, which is
+    # ONE-SIDED (it can only slow a run). Probe after every timed run;
+    # publish the median when all runs are healthy, else best-of the
+    # runs we have (same policy as tools/executor_bench.py), retrying
+    # once after a cooldown if every run was poisoned.
+    e2e_walls: list[float] = []
+    e2e_probes: list[float] = []
+    n_groups = 0
+    for attempt in range(2):
+        for _ in range(3):
+            df = build_agg()
+            t0 = time.time()
+            n_groups = _run_count(df)
+            e2e_walls.append(time.time() - t0)
+            e2e_probes.append(_host_mem_probe_mb_s())
+        if max(e2e_probes) >= 500.0:
+            break
+        time.sleep(60.0)  # hazard swings within minutes; one retry round
+    healthy = all(p >= 500.0 for p in e2e_probes[-3:])
+    e2e = sorted(e2e_walls)[len(e2e_walls) // 2] if healthy else min(e2e_walls)
     timings["pipeline_e2e"] = round(e2e, 3)
 
     total = sum(timings.values())
@@ -138,7 +159,15 @@ def main() -> None:
         "e2e_docs_per_sec": round(n_docs / e2e, 1),
         "e2e_agg_groups": n_groups,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
-        "host_first_touch_mb_s": _host_mem_probe_mb_s(),
+        # Probe sampled before AND after: the hazard can strike mid-run
+        # (observed: 2114 MB/s at launch, 26 MB/s at the end), so the
+        # headline health field is the conservative min of the two.
+        "host_first_touch_mb_s": min(probe_start, probe_end := _host_mem_probe_mb_s()),
+        "host_first_touch_mb_s_start": probe_start,
+        "host_first_touch_mb_s_end": probe_end,
+        "e2e_run_walls_sec": [round(w, 3) for w in e2e_walls],
+        "e2e_run_probes_mb_s": e2e_probes,
+        "e2e_policy": "median3" if healthy else "best_of_runs_one_sided_noise",
     }
     spark.stop()
     print(json.dumps(out))
