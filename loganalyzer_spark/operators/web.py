@@ -1,0 +1,134 @@
+"""Web-corpus operators: PII redaction, URL canonicalization, per-host
+rollups, and latest-snapshot-per-URL dedup.
+
+These are the Common-Crawl-style preparation steps a training-data
+pipeline runs over the (url, warc_ts, html, text, lang) pages table
+(BASELINE.json input_hint) before the log-analysis DAG sees it. All
+pure JVM column expressions — whole-stage codegen, no UDFs, no Python
+— and every regex is RE2-safe (no lookarounds) so the DuckDB oracles
+re-derive results with the byte-identical pattern set.
+
+Scale notes (100 TB):
+- ``redact_pii`` / ``canonicalize_url`` are pure scans: zero shuffle,
+  predicate/column pruning reach the parquet scan.
+- ``host_stats`` is ONE partial aggregate; Zipf host skew is absorbed
+  map-side (counts/sums combine before the exchange), so the shuffle
+  carries only #hosts rows.
+- ``latest_snapshot`` uses max-of-struct aggregation, not a window:
+  a row_number window would sort every partition's full snapshot
+  history; max(struct) is partial-aggregable, shuffles one row per
+  URL, and has no sort at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Ordered (pattern, replacement) chain. Order is semantic: dotted
+# quads go first so an IP inside a larger token is already collapsed
+# before the later patterns run; the chain is applied identically by
+# the DuckDB oracle (regexp_replace ... 'g'), so sequence = contract.
+# All RE2-compatible: no lookbehind/lookahead anywhere.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text: str = "text", out: str = "redacted") -> DataFrame:
+    """Apply the PII chain; adds ``out`` (redacted text) and ``n_pii``.
+
+    ``n_pii`` counts matches of each pattern against the ORIGINAL text
+    (not the partially-redacted intermediate) — overlapping categories
+    may both count, which keeps the statistic a pure per-pattern scan
+    and lets both engines compute it the same way.
+    """
+    red = F.col(text)
+    n = F.lit(0).cast("long")
+    for pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+        n = n + F.regexp_count(F.col(text), F.lit(pat))
+    return df.withColumn(out, red).withColumn("n_pii", n.cast("long"))
+
+
+# URL canonicalization pieces (shared regexes; the oracle SQL in
+# queries.py uses the same strings).
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def canonicalize_url(df: DataFrame, url: str = "url") -> DataFrame:
+    """Adds ``host`` and ``canon_url``.
+
+    Canonical form: lowercase scheme and host, ``www.`` prefix and
+    default ports (:80/:443) stripped, fragment dropped, trailing
+    slashes stripped from the path, query params with tracking keys
+    (``utm_*``) removed and the rest sorted bytewise. Everything is a
+    single projection — Catalyst keeps it inside one codegen stage.
+    """
+    u1 = F.regexp_replace(F.col(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u1, _SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(u1, _HOSTPORT_RE, 1)), r"^www\.", ""
+        ),
+        ":(80|443)$",
+        "",
+    )
+    path = F.regexp_replace(F.regexp_extract(u1, _PATH_RE, 1), "/+$", "")
+    qcanon = F.expr(
+        "array_join(array_sort(filter(split("
+        f"regexp_extract(regexp_replace({url}, '#.*$', ''), '\\\\?([^#]*)', 1),"
+        " '&'), p -> p != '' AND p NOT RLIKE '^utm_')), '&')"
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+    return df.withColumn("host", host).withColumn("canon_url", canon)
+
+
+def host_stats(pages: DataFrame, text: str = "text") -> DataFrame:
+    """Per-host corpus rollup over canonicalized pages: page count,
+    distinct canonical URLs, total text bytes. One partial-aggregable
+    exchange; output cardinality = #hosts."""
+    return (
+        canonicalize_url(pages)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct(F.col("canon_url")).alias("n_urls"),
+            F.sum(F.length(F.col(text))).alias("total_chars"),
+        )
+    )
+
+
+def latest_snapshot(
+    pages: DataFrame, snap_id: str = "snap_id", keep: list[str] | None = None
+) -> DataFrame:
+    """Keep the newest crawl snapshot per canonical URL (ties broken by
+    highest ``snap_id``) — the CC-style "latest revision wins" dedup.
+
+    max(struct(warc_ts, snap_id, payload...)) is partial-aggregable:
+    each map task keeps one candidate per URL before the shuffle, so
+    the exchange carries |distinct urls| rows regardless of how many
+    snapshots history holds — a window row_number() would ship and
+    sort every snapshot.
+    """
+    keep = keep or ["text"]
+    withc = canonicalize_url(pages)
+    winner = F.max(
+        F.struct(F.col("warc_ts"), F.col(snap_id), *[F.col(c) for c in keep])
+    ).alias("w")
+    agg = withc.groupBy("canon_url").agg(winner)
+    cols = [F.col("canon_url"), F.col("w.warc_ts").alias("warc_ts"),
+            F.col(f"w.{snap_id}").alias(snap_id)]
+    cols += [F.col(f"w.{c}").alias(c) for c in keep]
+    return agg.select(*cols)

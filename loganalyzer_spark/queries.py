@@ -44,6 +44,10 @@ def register(name: str, oracle: str | None):
 _DEMOTED = [
     "block_removal",                # generic machine; block_presets_cm runs it
                                     # with the real cm pattern data
+    "region_revenue",               # ≡ tpch_q5 minus two joins (same agg shape)
+    "tumbling_window_stats",        # ≡ sliding_window_counts with step = width
+    "corpus_split_stats",           # same hash16 machinery certified row-level
+                                    # by corpus_sample_rows
     "template_occurrences_salted",  # ≡ template_occurrences (skew path)
     "nested_fold_narrow",           # ≡ nested_fold (zero-shuffle form)
     "sessionize_events",            # ≡ session_window_stats (manual form)
@@ -2206,4 +2210,255 @@ def sink_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
             F.count_distinct("doc_id").alias("n_docs"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus preparation (operators/web.py): PII redaction, URL
+# canonicalization + host rollup, latest-snapshot-per-URL dedup.
+# The documents table has no messy URLs / PII, so each query derives
+# them DETERMINISTICALLY from doc_id with the same arithmetic in both
+# engines — the operator under test is the redaction/canonicalization
+# machinery, not the synthesis.
+# ---------------------------------------------------------------------------
+
+from loganalyzer_spark.operators import web as W  # noqa: E402
+
+# messy URL variants (4 shapes keyed on doc_id % 4) — DuckDB side
+_MESSY_URLS_SQL = """
+_hostpath AS (
+  SELECT doc_id, text,
+         'site' || lpad(cast(doc_id % 100 AS varchar), 4, '0') || '.example' AS h,
+         '/' || lpad(cast(doc_id AS varchar), 8, '0') AS p
+  FROM documents
+),
+_urls AS (
+  SELECT doc_id, text,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTPS://WWW.' || upper(h) || ':443' || p || '?utm_source=feed&b=2&a=1#frag'
+           WHEN 1 THEN 'https://' || h || p || '/'
+           WHEN 2 THEN 'http://' || h || ':80' || p || '?b=2&a=1'
+           ELSE 'https://' || h || p
+         END AS url
+  FROM _hostpath
+)
+"""
+
+# canonicalization re-derived in DuckDB (same regex strings as
+# operators/web.py — RE2-safe by construction)
+_CANON_SQL = """
+_stripped AS (
+  SELECT doc_id, text, url, regexp_replace(url, '#.*$', '', 'g') AS u1 FROM _urls
+),
+_parts AS (
+  SELECT doc_id, text, url,
+         lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             '^www\\.', '', 'g'), ':(80|443)$', '', 'g') AS host,
+         regexp_replace(
+             regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+             '/+$', '', 'g') AS path,
+         array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(u1, '\\?([^#]*)', 1), '&'),
+             q -> q <> '' AND NOT regexp_matches(q, '^utm_'))), '&') AS qc
+  FROM _stripped
+),
+_canon AS (
+  SELECT doc_id, text, url, host,
+         scheme || '://' || host || path ||
+         CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canon_url
+  FROM _parts
+)
+"""
+
+
+def _messy_pages_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of _MESSY_URLS_SQL (same arithmetic)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    h = F.concat(
+        F.lit("site"), F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
+        F.lit(".example"),
+    )
+    p = F.concat(F.lit("/"), F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://WWW."), F.upper(h), F.lit(":443"), p,
+                     F.lit("?utm_source=feed&b=2&a=1#frag")),
+        )
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://"), h, p, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("http://"), h, F.lit(":80"), p, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://"), h, p))
+    )
+    return docs.withColumn("url", url)
+
+
+def _pii_text_sql() -> str:
+    """Deterministic PII-bearing text per doc (DuckDB side)."""
+    return """
+_pii AS (
+  SELECT doc_id,
+         text || ' contact user' || cast(doc_id AS varchar) || '@mail'
+              || cast(doc_id % 7 AS varchar) || '.example'
+              || ' from 10.' || cast(doc_id % 256 AS varchar) || '.0.'
+              || cast((doc_id * 7) % 256 AS varchar)
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' id 123-45-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' tel 415-555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+                      ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def _pii_redact_duckdb(col: str) -> tuple[str, str]:
+    """(redacted_expr, count_expr) applying W.PII_PATTERNS in order."""
+    red = col
+    counts = []
+    # DuckDB single-quoted literals are RAW (no backslash unescaping),
+    # so the regex goes in verbatim — only quotes need doubling.
+    for pat, rep in W.PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{lit}', '{rep}', 'g')"
+        counts.append(f"len(regexp_extract_all({col}, '{lit}'))")
+    return red, " + ".join(counts)
+
+
+_RED_EXPR, _NPII_EXPR = _pii_redact_duckdb("text")
+
+
+@register(
+    "pii_redaction",
+    "WITH " + _pii_text_sql().strip() + f"""
+SELECT doc_id, {_RED_EXPR} AS redacted,
+       cast({_NPII_EXPR} AS BIGINT) AS n_pii
+FROM _pii
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scan (emails / dotted quads / SSN-style ids /
+    phone numbers → typed placeholders) over deterministically derived
+    PII-bearing text. Pure regexp_replace chain — zero shuffle, zero
+    UDF; the chain order is the contract (see operators/web.py)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"), F.lit(".example"),
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit(".0."), ((did * 7) % 256).cast("string"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" id 123-45-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" tel 415-555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+    derived = docs.select("doc_id", pii_text.alias("text"))
+    return W.redact_pii(derived).select("doc_id", "redacted", "n_pii")
+
+
+@register(
+    "url_host_stats",
+    "WITH " + _MESSY_URLS_SQL.strip() + "," + _CANON_SQL.strip() + """
+SELECT host, count(*) AS n_pages,
+       count(DISTINCT canon_url) AS n_urls,
+       cast(sum(length(text)) AS BIGINT) AS total_chars
+FROM _canon GROUP BY host
+""",
+)
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (case/www/default-port/fragment/tracking-
+    param normalization, bytewise-sorted query) + per-host rollup over
+    4 deterministic messy-URL shapes. One partial-aggregable exchange;
+    output = #hosts rows."""
+    return W.host_stats(_messy_pages_spark(spark, sf_dir))
+
+
+@register(
+    "latest_crawl_per_url",
+    "WITH " + _MESSY_URLS_SQL.strip() + f""",
+_snaps0 AS (
+  SELECT u.doc_id, u.text AS base_text, u.url, t.k AS snap_id,
+         make_timestamp(1655906400000000 + u.doc_id * 100000
+            + ((t.k * 2) % 3) * (u.doc_id % 3) * 86400000000) AS warc_ts
+  FROM _urls u, unnest(generate_series(0, 2)) AS t(k)
+),
+_snapurls AS (
+  SELECT doc_id, snap_id, warc_ts, url,
+         'v' || cast(snap_id AS varchar) || ' ' || base_text AS text
+  FROM _snaps0
+),
+_stripped AS (
+  SELECT doc_id, text, snap_id, warc_ts, url,
+         regexp_replace(url, '#.*$', '', 'g') AS u1 FROM _snapurls
+),
+_parts AS (
+  SELECT doc_id, text, snap_id, warc_ts,
+         lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             '^www\\.', '', 'g'), ':(80|443)$', '', 'g') AS host,
+         regexp_replace(
+             regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+             '/+$', '', 'g') AS path,
+         array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(u1, '\\?([^#]*)', 1), '&'),
+             q -> q <> '' AND NOT regexp_matches(q, '^utm_'))), '&') AS qc
+  FROM _stripped
+),
+_canon AS (
+  SELECT doc_id, text, snap_id, warc_ts,
+         scheme || '://' || host || path ||
+         CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canon_url
+  FROM _parts
+),
+_ranked AS (
+  SELECT canon_url, warc_ts, snap_id, text,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY warc_ts DESC, snap_id DESC, text DESC) AS rn
+  FROM _canon
+)
+SELECT canon_url, warc_ts, cast(snap_id AS BIGINT) AS snap_id, text
+FROM _ranked WHERE rn = 1
+""",
+)
+def latest_crawl_per_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-revision-wins URL dedup over 3 deterministic crawl
+    snapshots per page (snapshot 1 carries the newest warc_ts except
+    when doc_id % 3 = 0, where all three tie and snap_id breaks it).
+    max(struct) aggregation — partial-aggregable, |urls| shuffle rows,
+    no sort — vs. the oracle's window row_number re-derivation."""
+    pages = _messy_pages_spark(spark, sf_dir)
+    did, k = F.col("doc_id"), F.col("snap_id")
+    snaps = (
+        pages.select(
+            "doc_id", "url", F.col("text").alias("base_text"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("snap_id"),
+        )
+        .withColumn(
+            "warc_ts",
+            F.timestamp_micros(
+                F.lit(1655906400000000) + did * 100000
+                + ((k * 2) % 3) * (did % 3) * F.lit(86400000000)
+            ),
+        )
+        .withColumn(
+            "text", F.concat(F.lit("v"), k.cast("string"), F.lit(" "),
+                             F.col("base_text"))
+        )
+        .select("doc_id", "url", "snap_id", "warc_ts", "text")
+    )
+    out = W.latest_snapshot(snaps, snap_id="snap_id", keep=["text"])
+    return out.select(
+        "canon_url", "warc_ts", F.col("snap_id").cast("long").alias("snap_id"),
+        "text",
     )

@@ -680,3 +680,70 @@ def test_repetition_stats_matches_counter_oracle(spark):
         else:
             exp_bi = 0.0
         assert abs(r["dup_bigram_frac"] - exp_bi) < 1e-6
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from loganalyzer_spark.operators import web as W
+
+    cases = [
+        # (input, expected canon, expected host)
+        ("HTTPS://WWW.Site01.Example:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://site01.example/a/b?a=1&b=2", "site01.example"),
+        ("http://host.example:80/path/", "http://host.example/path",
+         "host.example"),
+        ("https://host.example:8443/p", "https://host.example:8443/p",
+         "host.example:8443"),  # non-default port retained
+        ("https://host.example", "https://host.example", "host.example"),
+        ("https://host.example/?", "https://host.example", "host.example"),
+        ("https://www.host.example/x?z=1&y=2&utm_medium=m",
+         "https://host.example/x?y=2&z=1", "host.example"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], ["i", "url"]
+    )
+    rows = {r["i"]: r for r in W.canonicalize_url(df).collect()}
+    for i, (u, canon, host) in enumerate(cases):
+        assert rows[i]["canon_url"] == canon, (u, rows[i]["canon_url"])
+        assert rows[i]["host"] == host, (u, rows[i]["host"])
+
+
+def test_redact_pii_patterns(spark):
+    from loganalyzer_spark.operators import web as W
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.com now"),
+            (1, "from 192.168.0.1 to 10.0.0.255."),
+            (2, "ssn 123-45-6789 tel 415-555-1234"),
+            (3, "nothing to see 12345 here v1.2"),
+        ],
+        ["i", "text"],
+    )
+    rows = {r["i"]: r for r in W.redact_pii(df).collect()}
+    assert rows[0]["redacted"] == "mail <EMAIL> now" and rows[0]["n_pii"] == 1
+    assert rows[1]["redacted"] == "from <IP> to <IP>." and rows[1]["n_pii"] == 2
+    assert rows[2]["redacted"] == "ssn <SSN> tel <PHONE>"
+    assert rows[2]["n_pii"] == 2
+    assert rows[3]["redacted"] == rows[3]["text"] and rows[3]["n_pii"] == 0
+
+
+def test_latest_snapshot_tiebreak(spark):
+    import datetime as dt
+
+    from loganalyzer_spark.operators import web as W
+
+    t0 = dt.datetime(2022, 6, 22, 12, 0, 0)
+    t1 = dt.datetime(2022, 6, 23, 12, 0, 0)
+    rows = [
+        # url A: distinct timestamps — newest (t1) wins regardless of snap_id
+        ("https://a.example/x", t0, 2, "old"),
+        ("https://a.example/x", t1, 0, "new"),
+        # url B: tied timestamps — highest snap_id wins
+        ("https://b.example/y", t0, 0, "b0"),
+        ("https://b.example/y", t0, 1, "b1"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "snap_id", "text"])
+    out = {r["canon_url"]: r for r in W.latest_snapshot(df).collect()}
+    assert out["https://a.example/x"]["text"] == "new"
+    assert out["https://a.example/x"]["snap_id"] == 0
+    assert out["https://b.example/y"]["text"] == "b1"
