@@ -15,9 +15,11 @@ Scale notes (100 TB):
   map-side (counts/sums combine before the exchange), so the shuffle
   carries only #hosts rows.
 - ``latest_snapshot`` uses max-of-struct aggregation, not a window:
-  a row_number window would sort every partition's full snapshot
-  history; max(struct) is partial-aggregable, shuffles one row per
-  URL, and has no sort at all.
+  a row_number window would SHUFFLE every snapshot row, then sort;
+  max(struct) partial-aggregates map-side so the exchange carries one
+  row per URL. (Spark plans it as SortAggregate — struct buffers are
+  not hash-aggregable — but that sort is per-partition, before any
+  data moves; the audited plan is in docs/PLANS.md.)
 """
 
 from __future__ import annotations
@@ -120,7 +122,9 @@ def latest_snapshot(
     each map task keeps one candidate per URL before the shuffle, so
     the exchange carries |distinct urls| rows regardless of how many
     snapshots history holds — a window row_number() would ship and
-    sort every snapshot.
+    sort every snapshot. The map side is a SortAggregate (struct
+    buffers aren't hash-aggregable); the per-partition sort happens
+    before the exchange and never moves data.
     """
     keep = keep or ["text"]
     withc = canonicalize_url(pages)
