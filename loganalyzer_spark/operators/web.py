@@ -112,6 +112,57 @@ def host_stats(pages: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(
+    df: DataFrame, n: int, text: str = "text", out: str = "grams"
+) -> DataFrame:
+    """Adds ``out``: the DISTINCT word n-grams of ``text`` as an array
+    column. Pure transform/slice projection — no explode, no shuffle;
+    the consumer decides whether to explode. Rows with fewer than ``n``
+    words get an empty array."""
+    w = F.split(F.col(text), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + F.lit(1), F.lit(n)), " "),
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return df.withColumn(out, F.when(F.size(w) >= n, grams).otherwise(empty))
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 13, text: str = "text"
+) -> DataFrame:
+    """Benchmark-overlap decontamination (the GPT-3/PaLM 13-gram rule):
+    flag every corpus doc sharing at least one word n-gram with the
+    benchmark/eval set. Returns (doc_id, n_grams, n_hits) for
+    contaminated docs, where n_grams = the doc's distinct-gram count
+    and n_hits = how many of those grams appear in the benchmark.
+
+    Scale (100 TB corpus, MB-scale benchmark): the benchmark gram set
+    is a small dim → broadcast hash join, so the corpus side never
+    shuffles for the join; grams are deduped per doc BEFORE the explode
+    (array_distinct in the projection) which bounds the explode factor;
+    the per-doc hit count partial-aggregates map-side, so the only
+    exchange carries one row per *contaminated* doc.
+    """
+    bench = (
+        word_ngrams(benchmark, n, text)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    grams = word_ngrams(corpus, n, text).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def latest_snapshot(
     pages: DataFrame, snap_id: str = "snap_id", keep: list[str] | None = None
 ) -> DataFrame:

@@ -60,8 +60,14 @@ _DEMOTED = [
     "repetition_stats",             # signals re-certified inside quality_filter
     "stratified_sample_counts",     # same hash16 machinery as corpus_sample_rows
     "deeplog_topk",                 # no_oracle; deeplog_predict is the superset
+    "deeplog_predict",              # no_oracle (LSTM kernel); certified by
+                                    # tests/test_deeplog.py parity vs the
+                                    # equations + local-gate rows check
     "logreg_train_score",           # no_oracle (driver-side training)
-    "dup_components",               # no_oracle (iterative)
+    "dup_components",               # iterative Spark impl; now carries an
+                                    # exact recursive-CTE oracle (hash-checked
+                                    # by the local gate); window slots go to
+                                    # distinct in-window ops first
 ]
 
 
@@ -2100,11 +2106,38 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dup_survivors(docs, pairs)
 
 
-@register("dup_components", None)  # iterative — rows-only driver check
+@register(
+    "dup_components",
+    # Exact oracle despite the iterative Spark implementation: connected
+    # components = "min reachable id per node", which DuckDB expresses
+    # directly as a recursive CTE (transitive closure over the symmetric
+    # edge set, then MIN per node). Pair derivation is byte-identical to
+    # the embedding_near_dups oracle above.
+    """
+    WITH RECURSIVE
+    p AS (
+      SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+      WHERE cosine >= 0.35
+    ),
+    e AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+    reach(node, m) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM e) t
+      UNION
+      SELECT r.node, e2.y FROM reach r JOIN e e2 ON e2.x = r.m
+    )
+    SELECT node, MIN(m) AS comp FROM reach GROUP BY node ORDER BY node
+    """,
+)
 def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup clusters via min-label propagation + pointer
     doubling (connected components over the near-dup pair graph).
-    Correctness pinned by tests/test_operators.py::test_connected_components."""
+    Convergence also pinned by tests/test_operators.py::test_connected_components."""
     from loganalyzer_spark.operators import dedup as DD
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
@@ -2462,3 +2495,35 @@ def latest_crawl_per_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon_url", "warc_ts", F.col("snap_id").cast("long").alias("snap_id"),
         "text",
     )
+
+
+@register(
+    "benchmark_decontam",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3+2),
+             i -> array_to_string(w[i:i+3-1], ' '))) AS gs
+      FROM toks WHERE len(w) >= 3),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 29 = 7),
+    corp AS (SELECT doc_id, cast(len(gs) AS BIGINT) AS n_grams,
+                    unnest(gs) AS g
+             FROM grams WHERE doc_id % 29 <> 7)
+    SELECT c.doc_id, c.n_grams, count(*) AS n_hits
+    FROM corp c JOIN bench b USING (g)
+    GROUP BY c.doc_id, c.n_grams
+    ORDER BY c.doc_id
+    """,
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination (the GPT-3 appendix-C /
+    PaLM 13-gram rule, n=3 at word-soup test scale): docs whose word
+    n-grams collide with a held-out benchmark set (doc_id % 29 = 7 as
+    the deterministic eval stand-in). Benchmark grams broadcast; corpus
+    grams dedup per doc BEFORE the explode; the hit count
+    partial-aggregates map-side → the only exchange carries one row per
+    contaminated doc. Output: (doc_id, n_grams, n_hits)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 7)
+    corpus = docs.filter(F.col("doc_id") % 29 != 7)
+    return W.decontaminate(corpus, bench, n=3).orderBy("doc_id")

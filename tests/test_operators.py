@@ -747,3 +747,43 @@ def test_latest_snapshot_tiebreak(spark):
     assert out["https://a.example/x"]["text"] == "new"
     assert out["https://a.example/x"]["snap_id"] == 0
     assert out["https://b.example/y"]["text"] == "b1"
+
+
+def test_word_ngrams_and_decontaminate(spark):
+    from loganalyzer_spark.operators import web as W
+
+    docs = spark.createDataFrame(
+        [
+            # 0: shares the trigram "a b c" with benchmark doc 100 (twice
+            #    in text — array_distinct must count it once)
+            (0, "a b c x y z a b c"),
+            # 1: no 3-gram overlap with the benchmark
+            (1, "p q r s t"),
+            # 2: shorter than n — zero grams, never a hit
+            (2, "a b"),
+            # 3: shares two distinct benchmark trigrams
+            (3, "a b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d q")], ["doc_id", "text"]
+    )
+
+    grams = {
+        r["doc_id"]: r["grams"]
+        for r in W.word_ngrams(docs, 3).collect()
+    }
+    assert grams[2] == []
+    assert sorted(grams[3]) == ["a b c", "b c d", "c d e"]
+    # dedup inside the doc: "a b c" appears twice in doc 0 but once here
+    assert grams[0].count("a b c") == 1
+
+    out = {
+        r["doc_id"]: r
+        for r in W.decontaminate(docs, bench, n=3).collect()
+    }
+    assert set(out) == {0, 3}
+    # 9 words → 7 trigrams, "a b c" twice → 6 distinct
+    assert out[0]["n_hits"] == 1 and out[0]["n_grams"] == 6
+    assert out[3]["n_hits"] == 2 and out[3]["n_grams"] == 3
