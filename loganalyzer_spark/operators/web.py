@@ -187,3 +187,87 @@ def latest_snapshot(
             F.col(f"w.{snap_id}").alias(snap_id)]
     cols += [F.col(f"w.{c}").alias(c) for c in keep]
     return agg.select(*cols)
+
+
+def lm_perplexity(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text: str = "text",
+    head_cut: float = 33.0,
+    tail_cut: float = 35.0,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): score every
+    corpus doc by bigram-LM perplexity under a model trained on a
+    trusted reference slice, then bucket into head/middle/tail by fixed
+    perplexity cutoffs (CCNet computes the cutoffs once, offline, from
+    the LM's own distribution — here they are arguments).
+
+    Model: add-one-smoothed bigram LM.
+      logp(w2 | w1) = ln((c(w1,w2) + 1) / (c(w1) + V))
+    with c(.) counted over the reference slice and V = reference
+    vocabulary size. Per-bigram logp is rounded to 6 dp and the per-doc
+    mean to 4 dp so the DuckDB oracle reproduces the score exactly
+    (same rounded-intermediate contract as textstats.quality_score).
+
+    Output: (doc_id, n_bigrams, avg_logp, ppl, lm_bucket) for every
+    corpus doc with >= 2 tokens, ppl = exp(-avg_logp).
+
+    Scale (100 TB corpus, bounded reference): the LM is built from the
+    reference slice only, so both count dims are small -> broadcast
+    hash joins; the corpus side explodes one row per bigram but never
+    shuffles for the joins, and the per-doc mean partial-aggregates
+    map-side (a doc's exploded rows stay in its scan partition), so the
+    one exchange carries |docs| rows, not |bigrams|.
+
+    Reference parity: plays the role of loganalyzer's model-scoring
+    stage (analyzer/modern/modern_base.py:218 predict flow) for corpus
+    quality; the LM itself is the public CCNet recipe, not a reference
+    port.
+    """
+    w = F.split(F.col(text), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.struct(
+                F.get(w, i).alias("g1"), F.get(w, i + 1).alias("g2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<g1:string,g2:string>>"))
+
+    ref_big = reference.select(F.explode(bigrams).alias("b")).select(
+        "b.g1", "b.g2"
+    )
+    c12 = ref_big.groupBy("g1", "g2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = ref_big.groupBy("g1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = reference.select(F.explode(w).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+
+    exploded = corpus.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.g1", "b.g2"
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        ),
+        6,
+    )
+    scored = (
+        exploded.join(F.broadcast(c12), ["g1", "g2"], "left")
+        .join(F.broadcast(c1), ["g1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logp"),
+    )
+    ppl = F.round(F.exp(-F.col("avg_logp")), 2)
+    bucket = (
+        F.when(F.col("ppl") < head_cut, F.lit("head"))
+        .when(F.col("ppl") < tail_cut, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return per_doc.withColumn("ppl", ppl).withColumn("lm_bucket", bucket)

@@ -2527,3 +2527,178 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 29 == 7)
     corpus = docs.filter(F.col("doc_id") % 29 != 7)
     return W.decontaminate(corpus, bench, n=3).orderBy("doc_id")
+
+
+@register(
+    "lm_perplexity",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+      SELECT doc_id, unnest(w[1:len(w)-1]) AS g1, unnest(w[2:len(w)]) AS g2
+      FROM toks WHERE len(w) >= 2),
+    refbig AS (SELECT g1, g2 FROM big WHERE doc_id % 31 = 3),
+    c12 AS (SELECT g1, g2, count(*) AS c12 FROM refbig GROUP BY 1, 2),
+    c1 AS (SELECT g1, count(*) AS c1 FROM refbig GROUP BY 1),
+    v AS (SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 31 = 3)),
+    scored AS (
+      SELECT b.doc_id,
+             round(ln((coalesce(c12.c12, 0) + 1.0)
+                      / (coalesce(c1.c1, 0) + v.v)), 6) AS lp
+      FROM big b LEFT JOIN c12 USING (g1, g2) LEFT JOIN c1 USING (g1)
+           CROSS JOIN v
+      WHERE b.doc_id % 31 <> 3),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logp
+      FROM scored GROUP BY doc_id),
+    fin AS (SELECT doc_id, n_bigrams, avg_logp,
+                   round(exp(-avg_logp), 2) AS ppl FROM agg)
+    SELECT doc_id, n_bigrams, avg_logp, ppl,
+           CASE WHEN ppl < 33.0 THEN 'head'
+                WHEN ppl < 35.0 THEN 'middle'
+                ELSE 'tail' END AS lm_bucket
+    FROM fin ORDER BY doc_id
+    """,
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus quality scoring: add-one-smoothed bigram-LM
+    perplexity per doc under a model trained on the deterministic
+    reference slice (doc_id % 31 = 3 as the trusted-corpus stand-in),
+    bucketed head/middle/tail at fixed cutoffs (the sf0.01 terciles).
+    LM count dims broadcast; the per-doc mean partial-aggregates
+    map-side so the one exchange carries |docs| rows.
+    Output: (doc_id, n_bigrams, avg_logp, ppl, lm_bucket)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 31 == 3)
+    corpus = docs.filter(F.col("doc_id") % 31 != 3)
+    return W.lm_perplexity(corpus, ref).orderBy("doc_id")
+
+
+def _sparse_ecm_prefix() -> str:
+    """Pipe CTEs ending at _didx: the sparse (doc_id, idx, c) ECM used
+    by every fixed-weight scoring oracle."""
+    return _score_oracle().rsplit(",\n_dot AS", 1)[0]
+
+
+def _gnb_oracle() -> str:
+    mu0, var0, mu1, var1, p1 = SC.fixed_gnb_params(datagen.VOCAB_SIZE)
+    a, b, c0 = SC.gnb_coefficients(mu0, var0, mu1, var1, p1)
+    vals = ",\n      ".join(
+        f"({i}, {ai!r}, {bi!r})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    return (
+        _sparse_ecm_prefix()
+        + f""",
+_q AS (
+  SELECT i.doc_id, sum(w.a * i.c + w.b * i.c * i.c) AS s
+  FROM _didx i JOIN (VALUES
+      {vals}
+    ) AS w(idx, a, b) ON w.idx = i.idx
+  GROUP BY 1
+)
+SELECT doc_id, round(s + ({c0!r}), 6) AS log_odds,
+       CASE WHEN s + ({c0!r}) > 0 THEN 1 ELSE 0 END AS pred
+FROM _q
+"""
+    )
+
+
+@register("gnb_score", _gnb_oracle())
+def gnb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian-naive-Bayes inference over per-doc ECM vectors (the GNB
+    member of loglizer's model zoo, loglizer.py:431-432), collapsed to
+    the quadratic decision form c0 + sum(a_i x_i + b_i x_i^2) — pure
+    JVM zip_with/aggregate, zero Python, params broadcast as literals.
+    Output: (doc_id, log_odds, pred)."""
+    mu0, var0, mu1, var1, p1 = SC.fixed_gnb_params(datagen.VOCAB_SIZE)
+    a, b, c0 = SC.gnb_coefficients(mu0, var0, mu1, var1, p1)
+    vec = _doc_vectors(spark, sf_dir)
+    lo = SC.gnb_score_expr("vec", a, b, c0)
+    return vec.select(
+        "doc_id",
+        F.round(lo, 6).alias("log_odds"),
+        (lo > 0).cast("int").alias("pred"),
+    )
+
+
+def _svm_oracle() -> str:
+    w, b = SC.fixed_svm_weights(datagen.VOCAB_SIZE)
+    wvals = ",\n      ".join(f"({i}, {x!r})" for i, x in enumerate(w))
+    return (
+        _sparse_ecm_prefix()
+        + f""",
+_dot AS (
+  SELECT i.doc_id, sum(i.c * w.wt) AS dot
+  FROM _didx i JOIN (VALUES
+      {wvals}
+    ) AS w(idx, wt) ON w.idx = i.idx
+  GROUP BY 1
+)
+SELECT doc_id, round(dot + ({b!r}), 6) AS margin,
+       CASE WHEN dot + ({b!r}) > 0 THEN 1 ELSE 0 END AS pred
+FROM _dot
+"""
+    )
+
+
+@register("svm_margin", _svm_oracle())
+def svm_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-SVM decision margin w.x + b over per-doc ECM vectors —
+    the shared inference form of loglizer's SVM, PTN and SGDC_* members
+    (loglizer.py:433-441,456-459; training differs, scoring does not).
+    Output: (doc_id, margin, pred)."""
+    w, b = SC.fixed_svm_weights(datagen.VOCAB_SIZE)
+    vec = _doc_vectors(spark, sf_dir)
+    m = SC.svm_margin_expr("vec", w, b)
+    return vec.select(
+        "doc_id",
+        F.round(m, 6).alias("margin"),
+        (m > 0).cast("int").alias("pred"),
+    )
+
+
+def _rfc_oracle() -> str:
+    slots = sorted({s for t in SC.RFC_TREES for s in (t[0], t[2])})
+    pivots = ",\n         ".join(
+        f"coalesce(sum(CASE WHEN idx = {s} THEN c END), 0) AS c{s}"
+        for s in slots
+    )
+    trees = ",\n       ".join(
+        f"CASE WHEN c{sa} > {ta!r} THEN "
+        f"(CASE WHEN c{sb} > {tb!r} THEN {laa!r} ELSE {lab!r} END) "
+        f"ELSE {lb!r} END AS t{k}"
+        for k, (sa, ta, sb, tb, laa, lab, lb) in enumerate(SC.RFC_TREES)
+    )
+    mean = " + ".join(f"t{k}" for k in range(len(SC.RFC_TREES)))
+    return (
+        _sparse_ecm_prefix()
+        + f""",
+_piv AS (
+  SELECT g.doc_id,
+         {pivots}
+  FROM (SELECT DISTINCT doc_id FROM _didx) g
+  LEFT JOIN _didx USING (doc_id)
+  GROUP BY 1
+),
+_trees AS (
+  SELECT doc_id,
+       {trees}
+  FROM _piv
+)
+SELECT doc_id,
+       round(({mean}) / {len(SC.RFC_TREES)}, 6) AS score
+FROM _trees
+"""
+    )
+
+
+@register("rfc_score", _rfc_oracle())
+def rfc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest inference (loglizer.py:460-461): mean leaf
+    probability of five fixed depth-2 trees, each compiled to CASE WHEN
+    — the dt_score pattern lifted to an ensemble, zero Python.
+    Output: (doc_id, score)."""
+    vec = _doc_vectors(spark, sf_dir)
+    return vec.select(
+        "doc_id", F.round(SC.rfc_score_expr("vec"), 6).alias("score")
+    )

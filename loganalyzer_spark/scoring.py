@@ -138,3 +138,121 @@ def dt_score_expr(vec_col: str) -> F.Column:
         .when(x(0) > 10, F.lit(0.2))
         .otherwise(F.lit(0.05))
     )
+
+
+# ---------------------------------------------------------------------------
+# Loglizer model-zoo inference kernels (loglizer.py:450-461 trains DT,
+# LR, SVM, RFC and :431-441 GNB/PTN/SGDC_*; inference for every one of
+# them is either a linear decision function, a Gaussian-NB log-odds, or
+# a tree ensemble — each expressible as JVM column math over the ECM
+# vector, no Python in the scoring path).
+# ---------------------------------------------------------------------------
+
+def fixed_gnb_params(
+    size: int,
+) -> tuple[list[float], list[float], list[float], list[float], float]:
+    """Deterministic per-feature Gaussian params (mu, var per class) and
+    class-1 prior for the oracle-checked GNB query."""
+    mu0 = [round(0.2 + 0.03 * i, 6) for i in range(size)]
+    mu1 = [round(1.5 - 0.04 * i, 6) for i in range(size)]
+    var0 = [round(1.0 + 0.05 * i, 6) for i in range(size)]
+    var1 = [round(0.8 + 0.07 * i, 6) for i in range(size)]
+    return mu0, var0, mu1, var1, 0.3
+
+
+def gnb_coefficients(
+    mu0: list[float],
+    var0: list[float],
+    mu1: list[float],
+    var1: list[float],
+    p1: float,
+) -> tuple[list[float], list[float], float]:
+    """Collapse Gaussian-NB params to the quadratic decision form
+
+        log-odds(x) = c0 + sum_i (a_i * x_i + b_i * x_i^2)
+
+    with a_i = mu1/var1 - mu0/var0, b_i = -(1/var1 - 1/var0)/2 and c0
+    absorbing the priors, normalizers and mu^2 terms. Zero-count slots
+    contribute exactly 0.0, so a sparse (idx, count) oracle and the
+    dense array expression agree bit-for-bit up to summation order.
+    """
+    import math
+
+    a = [m1 / v1 - m0 / v0 for m0, v0, m1, v1 in zip(mu0, var0, mu1, var1)]
+    b = [-0.5 * (1.0 / v1 - 1.0 / v0) for v0, v1 in zip(var0, var1)]
+    c0 = math.log(p1 / (1.0 - p1)) + sum(
+        -0.5 * math.log(v1 / v0) - m1 * m1 / (2 * v1) + m0 * m0 / (2 * v0)
+        for m0, v0, m1, v1 in zip(mu0, var0, mu1, var1)
+    )
+    return a, b, c0
+
+
+def gnb_score_expr(
+    vec_col: str, a: list[float], b: list[float], c0: float
+) -> F.Column:
+    """Gaussian-NB log-odds over a dense count-vector column — pure JVM
+    zip_with/aggregate, zero Python (the GNB member of loglizer's zoo,
+    loglizer.py:431-432)."""
+    x = F.col(vec_col).cast("array<double>")
+    lin = F.zip_with(x, F.array(*[F.lit(v) for v in a]), lambda xi, ai: xi * ai)
+    quad = F.zip_with(
+        x, F.array(*[F.lit(v) for v in b]), lambda xi, bi: xi * xi * bi
+    )
+    return F.aggregate(
+        F.zip_with(lin, quad, lambda l, q: l + q),
+        F.lit(float(c0)),
+        lambda acc, v: acc + v,
+    )
+
+
+def fixed_svm_weights(size: int) -> tuple[list[float], float]:
+    """Deterministic linear-SVM weights (decision function w.x + b —
+    the inference form shared by loglizer's SVM, PTN and SGDC_* members,
+    loglizer.py:433-441,456-459)."""
+    w = [round(((-1) ** i) * (0.2 + 0.04 * i), 6) for i in range(size)]
+    return w, 0.75
+
+
+def svm_margin_expr(vec_col: str, w: list[float], b: float) -> F.Column:
+    """Linear decision margin w.x + b (no sigmoid): sign is the class."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.array(*[F.lit(x) for x in w]),
+            lambda v, wi: v * wi,
+        ),
+        F.lit(float(b)),
+        lambda acc, v: acc + v,
+    )
+
+
+# Five fixed depth-2 trees over ECM slots: (slot_a, thr_a, slot_b,
+# thr_b, leaf_aa, leaf_ab, leaf_b) meaning
+#   if x[slot_a] > thr_a: (x[slot_b] > thr_b ? leaf_aa : leaf_ab)
+#   else leaf_b
+RFC_TREES: list[tuple[int, float, int, float, float, float, float]] = [
+    # thresholds sit inside the sf0.01 ECM count range (slot medians
+    # 0-3, max 6) so every branch of every tree fires on real data —
+    # a tree whose split never triggers certifies nothing.
+    (6, 0.0, 0, 2.0, 0.95, 0.7, 0.1),
+    (0, 2.0, 7, 0.0, 0.9, 0.6, 0.15),
+    (13, 0.0, 6, 1.0, 0.85, 0.35, 0.2),
+    (3, 0.0, 5, 0.0, 0.8, 0.55, 0.25),
+    (1, 0.0, 2, 0.0, 0.75, 0.5, 0.3),
+]
+
+
+def rfc_score_expr(vec_col: str) -> F.Column:
+    """Random-forest inference (loglizer.py:460-461): the mean leaf
+    probability of RFC_TREES, each tree compiled to CASE WHEN — the
+    dt_score_expr pattern lifted to an ensemble. Zero Python."""
+    x = lambda i: F.element_at(F.col(vec_col), i + 1).cast("double")  # noqa: E731
+    votes = [
+        F.when(x(sa) > ta, F.when(x(sb) > tb, F.lit(laa)).otherwise(F.lit(lab)))
+        .otherwise(F.lit(lb))
+        for sa, ta, sb, tb, laa, lab, lb in RFC_TREES
+    ]
+    total = votes[0]
+    for v in votes[1:]:
+        total = total + v
+    return total / len(votes)

@@ -787,3 +787,89 @@ def test_word_ngrams_and_decontaminate(spark):
     # 9 words → 7 trigrams, "a b c" twice → 6 distinct
     assert out[0]["n_hits"] == 1 and out[0]["n_grams"] == 6
     assert out[3]["n_hits"] == 2 and out[3]["n_grams"] == 3
+
+
+def test_lm_perplexity_smoothed_bigram(spark):
+    from math import exp, log
+
+    from loganalyzer_spark.operators import web as W
+
+    # Reference slice: vocab {a,b,c} (V=3); bigram counts
+    # c(a,b)=2, c(b,a)=1, c(b,c)=1; context counts c1(a)=2, c1(b)=2.
+    ref = spark.createDataFrame(
+        [(100, "a b a b c")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b"),      # seen bigram: ln((2+1)/(2+3))
+            (1, "c a"),      # unseen bigram, unseen context: ln(1/3)
+            (2, "a"),        # < 2 tokens -> no output row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in W.lm_perplexity(corpus, ref).collect()
+    }
+    assert set(out) == {0, 1}
+
+    lp0 = round(log(3 / 5), 6)
+    assert out[0]["n_bigrams"] == 1
+    assert out[0]["avg_logp"] == round(lp0, 4)
+    assert out[0]["ppl"] == round(exp(-round(lp0, 4)), 2)
+
+    # c(c,a)=0 and c1(c)=0: add-one smoothing floors at ln(1/V)
+    lp1 = round(log(1 / 3), 6)
+    assert out[1]["avg_logp"] == round(lp1, 4)
+    # bucket cutoffs: both ppl values are tiny -> head
+    assert out[0]["lm_bucket"] == "head" and out[1]["lm_bucket"] == "head"
+
+
+def test_model_zoo_kernels(spark):
+    """GNB log-odds, SVM margin and RFC ensemble must equal the numpy
+    reference math on hand vectors (the loglizer zoo inference forms)."""
+    import math
+
+    from loganalyzer_spark import scoring as SC
+
+    from loganalyzer_spark import datagen
+
+    d = datagen.VOCAB_SIZE  # RFC_TREES indexes slots up to 13
+    vecs = [
+        (0, [0.0] * d),
+        (1, [float((3 * i + 1) % 5) for i in range(d)]),
+        (2, [float((7 * i) % 4) for i in range(d)]),
+    ]
+    df = spark.createDataFrame(vecs, ["doc_id", "vec"])
+
+    mu0, var0, mu1, var1, p1 = SC.fixed_gnb_params(d)
+    a, b, c0 = SC.gnb_coefficients(mu0, var0, mu1, var1, p1)
+    w, bias = SC.fixed_svm_weights(d)
+
+    from pyspark.sql import functions as F
+
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.round(SC.gnb_score_expr("vec", a, b, c0), 6).alias("gnb"),
+            F.round(SC.svm_margin_expr("vec", w, bias), 6).alias("svm"),
+            F.round(SC.rfc_score_expr("vec"), 6).alias("rfc"),
+        ).collect()
+    }
+
+    for doc_id, x in vecs:
+        gnb = c0 + sum(ai * xi + bi * xi * xi for ai, bi, xi in zip(a, b, x))
+        svm = bias + sum(wi * xi for wi, xi in zip(w, x))
+        leaves = [
+            (laa if x[sb] > tb else lab) if x[sa] > ta else lb
+            for sa, ta, sb, tb, laa, lab, lb in SC.RFC_TREES
+        ]
+        rfc = sum(leaves) / len(leaves)
+        assert math.isclose(out[doc_id]["gnb"], round(gnb, 6), abs_tol=1e-6)
+        assert math.isclose(out[doc_id]["svm"], round(svm, 6), abs_tol=1e-6)
+        assert math.isclose(out[doc_id]["rfc"], round(rfc, 6), abs_tol=1e-6)
+
+    # the zero vector scores exactly c0 / bias: sparse-oracle parity
+    assert out[0]["gnb"] == round(c0, 6)
+    assert out[0]["svm"] == round(bias, 6)
