@@ -51,6 +51,13 @@ def main() -> None:
     # the warm pass could (in principle) reuse AQE state across
     # instances and under-measure.
     lines, agg = build()
+    # actual executor count entering the timed pass: local-cluster
+    # executors register asynchronously (and pre-touched heaps start
+    # slowly on a degraded host), so a run can silently execute on
+    # fewer executors than configured — record it so every rep is
+    # attributable (the bench also sets minRegisteredResourcesRatio=1).
+    infos = spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos()
+    n_exec = max(0, len(infos) - 1)
     t0 = time.time()
     groups = agg.count()
     wall = time.time() - t0
@@ -58,7 +65,6 @@ def main() -> None:
         src.agg(F.countDistinct("doc_id")).collect()[0][0]
     )
     n_rows = lines.count()
-
     result = {
         "rows": n_rows,
         "docs": n_docs,
@@ -67,6 +73,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / wall, 1),
         "rows_per_sec": round(n_rows / wall, 1),
         "parallelism": spark.sparkContext.defaultParallelism,
+        "executors_at_run": n_exec,
     }
     print("RESULT " + json.dumps(result))
     if out_json:

@@ -66,9 +66,30 @@ def run_once(corpus: str, n_exec: int, zpath: str) -> dict:
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.driver.memory=4g",
         "--conf", f"spark.executor.memory={MEM_MB // 1024}g",
+        # -Xms=-Xmx + AlwaysPreTouch: commit AND fault the whole heap at
+        # JVM startup. Without it the heap grows lazily and every
+        # expansion faults fresh pages MID-RUN at host-paging speed when
+        # the virtio free-page-reporting hazard is active — the dominant
+        # noise source on the high rungs (8 executors = 24g of fresh
+        # heap per rep). Pre-touching moves that cost outside the timed
+        # window (startup + warm pass), so the measured pass sees
+        # resident memory; ParallelGC with Xms=Xmx never uncommits.
         "--conf",
         "spark.executor.extraJavaOptions=-XX:+UseParallelGC "
-        f"-XX:ParallelGCThreads={CORES_PER_EXEC} -XX:CICompilerCount=2",
+        f"-XX:ParallelGCThreads={CORES_PER_EXEC} -XX:CICompilerCount=2 "
+        f"-Xms{MEM_MB}M -XX:+AlwaysPreTouch",
+        "--conf",
+        "spark.driver.extraJavaOptions=-Xms4g -XX:+AlwaysPreTouch",
+        # standalone mode defaults minRegisteredResourcesRatio to 0.0:
+        # the job starts as soon as ANY executor registers, so a rung
+        # can silently run on 2 of its 8 executors (pre-touch slows
+        # startup; diag observed parallelism=4 on local-cluster[8,..]).
+        # Wait for the full roster before scheduling anything. NB the
+        # ratio is computed against spark.cores.max — without cores.max
+        # the gate is a silent no-op in standalone mode.
+        "--conf", f"spark.cores.max={n_exec * CORES_PER_EXEC}",
+        "--conf", "spark.scheduler.minRegisteredResourcesRatio=1.0",
+        "--conf", "spark.scheduler.maxRegisteredResourcesWaitingTime=600s",
         "--conf", "spark.sql.files.maxPartitionBytes=4194304",
         "--conf", "spark.sql.files.openCostInBytes=524288",
         # tasks have no real locality on a local FS: the 3s default
@@ -89,7 +110,16 @@ def run_once(corpus: str, n_exec: int, zpath: str) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # reps: one int for all rungs, or comma list per rung — the hazard
+    # exposure grows with executor count (more fresh JVM heap to fault
+    # mid-run), so the high rungs need more repeats for a clean best-of.
+    raw_reps = sys.argv[2] if len(sys.argv) > 2 else "3"
+    if "," in raw_reps:
+        per_rung = [int(x) for x in raw_reps.split(",")]
+        assert len(per_rung) == len(EXECUTORS)
+        reps_for = dict(zip(EXECUTORS, per_rung))
+    else:
+        reps_for = {n: int(raw_reps) for n in EXECUTORS}
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from scaling_bench import ensure_corpus, make_zip
@@ -102,17 +132,35 @@ def main() -> None:
     probes: dict[int, list[float]] = {}
     for n in EXECUTORS:
         rates = []
+        rejected = []
         probes[n] = []
-        for _ in range(reps):
+        for _ in range(reps_for[n]):
             probe = wait_healthy()
             r = run_once(corpus, n, zpath)
+            got_exec = r.get("executors_at_run", n)
+            if got_exec < n:
+                # under-registered cluster: the rep measured a smaller
+                # cluster than the rung claims — record nothing, rerun.
+                print(
+                    f"{n} executors: REJECTED rep ran on {got_exec} "
+                    f"executors ({r['docs_per_sec']} docs/s)",
+                    flush=True,
+                )
+                rejected.append(r["docs_per_sec"])
+                continue
             rates.append(r["docs_per_sec"])
             probes[n].append(probe)
             print(
                 f"{n} executors: {r['docs_per_sec']} docs/s "
-                f"(probe {probe} MB/s)",
+                f"(probe {probe} MB/s, execs {got_exec})",
                 flush=True,
             )
+        if not rates:
+            # every rep under-registered (should not happen with
+            # minRegisteredResourcesRatio=1.0) — publish the rejected
+            # rates rather than crash, clearly understating the rung.
+            rates = rejected
+            probes[n] = [0.0] * len(rates)
         # best-of, not median: virtio free-page-reporting degradation is
         # one-sided (only ever slows a run), so max docs/s estimates the
         # plan's own speed; the spread is published alongside.
@@ -146,17 +194,17 @@ each with its own {MEM_MB // 1024}g heap, pinned GC/JIT threads
 (ParallelGCThreads={CORES_PER_EXEC}, CICompilerCount=2 — executor JVMs
 otherwise size those pools to the machine's 32 cores and thrash at high
 executor counts). Same corpus, same steady-state in-process-warm
-protocol as BENCH/BASELINE.md; best of {reps} runs (see below).
+protocol as BENCH/BASELINE.md; best of N runs per rung (see below).
 
 Each run is gated on a host first-touch probe ≥ {MIN_PROBE_MB_S:.0f}
 MB/s (the free-page-reporting hazard floor); the per-run probe readings
 are published alongside so every number is attributable.
 
-| executors | docs/sec (best of {reps}) | all runs | probes (MB/s) |
+| executors | docs/sec (best of runs) | all runs | probes (MB/s) |
 |---|---|---|---|
 {rows}
 
-Best-of-{reps}, not median: host free-page-reporting degradation is
+Best-of-N, not median: host free-page-reporting degradation is
 one-sided (it can only slow a run), so the max is the closest estimate
 of the plan's own speed; the spread column shows the noise.
 

@@ -107,7 +107,12 @@ def run_once(corpus: str, cores: int, zpath: str) -> dict:
         # every rung multiple waves for load balancing.
         "--conf", "spark.sql.files.maxPartitionBytes=4194304",
         "--conf", "spark.sql.files.openCostInBytes=524288",
-        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        # Xms=Xmx + AlwaysPreTouch: fault the whole heap at JVM startup
+        # so mid-run heap growth never pages against the virtio
+        # free-page-reporting hazard (see CLAUDE.md / EXECUTORS.md).
+        "--conf",
+        "spark.driver.extraJavaOptions=-XX:+UseParallelGC "
+        "-Xms16g -XX:+AlwaysPreTouch",
         "--conf", "spark.ui.enabled=false",
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         corpus,
