@@ -68,6 +68,16 @@ _DEMOTED = [
                                     # exact recursive-CTE oracle (hash-checked
                                     # by the local gate); window slots go to
                                     # distinct in-window ops first
+    "gnb_score",                    # model-zoo kernels: same broadcast-weights
+    "svm_margin",                   # vectorized-scoring shape certified
+    "rfc_score",                    # in-window by logreg_score_arrow + dt_score
+    "tpch_q3",                      # ≡ tpch_q5's join→agg→sort shape minus
+                                    # three dims; q5 is the superset evidence
+    "url_host_stats",               # canonicalization re-certified inside
+                                    # latest_crawl_per_url; exact-distinct
+                                    # two-phase agg certified by tfidf_buckets
+    "topk_counts_per_bucket",       # ≡ topk_orders_per_priority (same window
+                                    # row_number top-k shape), T1 evidence
 ]
 
 
@@ -2701,4 +2711,95 @@ def rfc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _doc_vectors(spark, sf_dir)
     return vec.select(
         "doc_id", F.round(SC.rfc_score_expr("vec"), 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of join + bucketed interval
+# join — the two join classes Spark has no native physical strategy for
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_last_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS purchase_ts, r.event_id AS purchase_event_id,
+           r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join within the events stream: each error event
+    picks up the same user's most recent prior (or simultaneous)
+    purchase — NULL payload when none precedes (134 of 2014 rows at
+    sf0.01, so the no-match branch is exercised). Spark side: union +
+    one hash Exchange per side + running last(ignorenulls) window
+    (operators/temporal.py::asof_join). Oracle: DuckDB's NATIVE ASOF
+    JOIN — independent machinery for the same semantics."""
+    from loganalyzer_spark.operators import temporal as T
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return T.asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "value"],
+        prefix="purchase_",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "purchase_followon_stats",
+    """
+    SELECT a.event_id AS anchor_id,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events a JOIN events e
+      ON e.user_id = a.user_id
+     AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+)
+def purchase_followon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (band) join without a nested loop: every purchase opens
+    a [ts, ts+1h) window; count the same user's events inside it (each
+    anchor matches at least itself). Spark side: intervals exploded
+    into hour buckets → equi-join on (user, bucket) → exact residual
+    filter (operators/temporal.py::interval_join) — a raw range-only
+    join would be a BroadcastNestedLoopJoin. Oracle: the plain
+    inequality join DuckDB can afford at sf0.01."""
+    from loganalyzer_spark.operators import temporal as T
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    anchors = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("anchor_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    pts = ev.select("user_id", "ts", "value")
+    j = T.interval_join(
+        pts,
+        anchors,
+        "user_id",
+        "anchor_user",
+        ts="ts",
+        start="start_ts",
+        end="end_ts",
+        bucket_seconds=3600,
+    )
+    return j.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
     )

@@ -644,6 +644,9 @@ def test_sample_hash_deterministic_and_uniform(spark):
     assert per["1"] == 1667 and per["2"] == 1666  # keep-all strata intact
     assert abs(per["0"] / (5000 / 3) - 0.5) < 0.06
 
+    # empty rates dict = no stratum constrained -> identity, not a crash
+    assert SMP.stratified_sample(docs, "k", "stratum", {}).count() == 5000
+
 
 def test_repetition_stats_matches_counter_oracle(spark):
     """top_tok_frac's sort_array+aggregate max-run must equal the mode
@@ -873,3 +876,154 @@ def test_model_zoo_kernels(spark):
     # the zero vector scores exactly c0 / bias: sparse-oracle parity
     assert out[0]["gnb"] == round(c0, 6)
     assert out[0]["svm"] == round(bias, 6)
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: backward match, inclusive at equality, highest-ts
+    right row wins, tie-break by payload key, NULL when nothing
+    precedes, tolerance horizon nulls stale matches."""
+    import datetime as dt
+
+    from loganalyzer_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(0)), (2, 100, ts(10)), (3, 100, ts(20)),
+         (4, 200, ts(5)), (5, 300, ts(5))],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    # user 100: rights at 5, 10 (x2 tie), 25; user 200: none; user 300: at 5
+    right = spark.createDataFrame(
+        [(100, ts(5), 51), (100, ts(10), 52), (100, ts(10), 53),
+         (100, ts(25), 54), (300, ts(5), 55)],
+        "user_id BIGINT, ts TIMESTAMP, rid BIGINT",
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["rid"], prefix="r_", tiebreak="rid",
+    )
+    got = {r["event_id"]: (r["r_rid"], r["r_ts"]) for r in out.collect()}
+    assert got[1] == (None, None)          # nothing precedes ts(0)
+    assert got[2] == (53, ts(10))          # inclusive equality + max-rid tie
+    assert got[3] == (53, ts(10))          # ts(25) is in the future
+    assert got[4] == (None, None)          # user with no right rows
+    assert got[5] == (55, ts(5))           # exact-equality match
+    assert out.count() == 5                # every left row exactly once
+
+    # tolerance: user 100 event at ts(20) matched ts(10) → 600 s old;
+    # a 300 s horizon must null it while keeping the ts(10)↔ts(10) hit
+    tol = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["rid"], prefix="r_", tiebreak="rid", tolerance_seconds=300,
+    )
+    got_t = {r["event_id"]: r["r_rid"] for r in tol.collect()}
+    assert got_t[3] is None and got_t[2] == 53
+
+
+def test_asof_join_plan_single_exchange_no_nested_loop(spark):
+    """The as-of plan must be union → ONE hash Exchange → sort → Window,
+    never a BroadcastNestedLoopJoin (what a raw range join would be)."""
+    import datetime as dt
+
+    from loganalyzer_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, t0)], "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 9)], "user_id BIGINT, ts TIMESTAMP, rid BIGINT"
+    )
+    df = asof_join(left, right, on="user_id", payload=["rid"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "NestedLoop" not in plan
+    # formatted mode lists each node once in the tree as "(n) Exchange"
+    # with its hashpartitioning arguments in the details section
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(_k" in plan
+
+
+def test_interval_join_equals_bruteforce(spark):
+    """interval_join (bucketed band join) must equal the brute-force
+    cross-join filter on randomized small data, including intervals
+    spanning multiple buckets and empty intervals."""
+    import datetime as dt
+    import random
+
+    from loganalyzer_spark.operators.temporal import interval_join
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2026, 1, 1)
+    pts_rows = [
+        (i, rng.randrange(3), t0 + dt.timedelta(seconds=rng.randrange(7200)))
+        for i in range(200)
+    ]
+    iv_rows = []
+    for j in range(40):
+        s = rng.randrange(7200)
+        iv_rows.append(
+            (j, rng.randrange(3), t0 + dt.timedelta(seconds=s),
+             t0 + dt.timedelta(seconds=s + rng.choice([0, 60, 900, 2400])))
+        )
+    pts = spark.createDataFrame(pts_rows, "pid BIGINT, k BIGINT, ts TIMESTAMP")
+    iv = spark.createDataFrame(
+        iv_rows, "iid BIGINT, ik BIGINT, start_ts TIMESTAMP, end_ts TIMESTAMP"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, iv, "k", "ik", ts="ts", start="start_ts", end="end_ts",
+            bucket_seconds=600,
+        ).collect()
+    }
+    want = {
+        (p, i)
+        for (p, pk, pt) in pts_rows
+        for (i, ik, s, e) in iv_rows
+        if pk == ik and s <= pt < e
+    }
+    assert got == want and len(want) > 50
+
+
+def test_bucketed_fact_fact_join_no_exchange(spark):
+    """write_bucketed: two fact tables bucketed on the same key must
+    join with ZERO shuffle exchange (the 100 TB co-location claim), and
+    the join result must equal the plain-join result."""
+    from loganalyzer_spark.sources.tables import write_bucketed
+
+    a = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("va")
+    )
+    b = spark.range(0, 500).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") * 2).alias("vb")
+    )
+    want = a.join(b, "k").count()
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(a, "bkt_a", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(b, "bkt_b", ["k"], n_buckets=8, sort_cols=["k"])
+        # disable broadcast so the co-location (not a broadcast) carries it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

@@ -232,3 +232,58 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert rows[("10:30", "bb")] == 1
     assert rows[("11:00", "cc")] == 1
     assert ("11:30", "dd") not in rows  # window still open at stop
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered records (same key)
+    across micro-batches emit exactly once while their keys are inside
+    the watermark horizon — the bounded-state streaming twin of
+    dedup.exact_dedup for an at-least-once 100 TB ingest."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from loganalyzer_spark.streaming.dedup import (
+        run_append_to_memory,
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    schema = "doc_id BIGINT, line_no INT, warc_ts TIMESTAMP, raw STRING"
+    t = dt.datetime(2026, 1, 1, 12, 0, 0)
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2],
+            "line_no": [0, 1, 0],
+            "warc_ts": [t, t, t],
+            "raw": ["a", "b", "c"],
+        }
+    )
+    # batch 2 re-delivers (1,1) and (2,0) and adds (2,1)
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 2],
+            "line_no": [1, 0, 1],
+            "warc_ts": [t, t, t + dt.timedelta(minutes=1)],
+            "raw": ["b-dup", "c-dup", "d"],
+        }
+    )
+    spark.createDataFrame(b1, schema).write.parquet(src + "/b1")
+
+    stream = streaming_dedup(
+        spark, src + "/*", schema, keys=("doc_id", "line_no"),
+        watermark="1 hour",
+    )
+    q = run_append_to_memory(stream, "dedup_out")
+    try:
+        spark.createDataFrame(b2, schema).write.parquet(src + "/b2")
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["line_no"]): r["raw"]
+            for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    # every key exactly once, first delivery wins, new key emitted
+    assert got == {(1, 0): "a", (1, 1): "b", (2, 0): "c", (2, 1): "d"}
