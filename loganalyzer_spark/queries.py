@@ -2803,3 +2803,71 @@ def purchase_followon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic SQL aggregate surfaces: exact quantiles + ROLLUP grouping sets
+# (registered after the 50-query driver window — the window is reserved
+# for distinct §2 operator rows; the local gate still hash-checks these)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_quantiles",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.50), 4) AS p50,
+           round(quantile_cont(n_chars, 0.90), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per language —
+    the distribution profile a corpus-curation pass reads before picking
+    Gopher length cutoffs. Spark `percentile` (exact, linear
+    interpolation) vs DuckDB `quantile_cont`: same estimator, derived
+    independently. At 100 TB swap in `percentile_approx` (t-digest, one
+    pass, mergeable) when ±0.5% suffices; the exact form is the oracle
+    the sketch is judged against."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "events_rollup_stats",
+    """
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+    """,
+)
+def events_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per-(type, day) cells + per-type subtotals
+    + grand total in ONE pass — Spark expands the grouping sets into a
+    single partial+final aggregate (no re-scan per level), which is the
+    shape that matters when the input is 100 TB and each extra pass
+    costs a full scan."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "value",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
