@@ -246,19 +246,23 @@ the regime the rule names, and it sidesteps single-JVM heap contention.
 
 ## Data-size scale-up check (4x corpus, same config)
 
-Recorded round 1 (healthy host), same local[32] spark-submit config,
-8M-doc corpus (72M lines, 674k aggregate groups — 4x the rows AND 4x
-the group cardinality):
+Re-measured on round-3 code (full byte-fidelity wash/mask) with the
+pre-touched 16g driver heap, healthy probes, same local[32]
+spark-submit config, back-to-back runs:
 
 ```
-{{"rows": 71999980, "docs": 8000000, "agg_groups": 674158,
- "wall_s": 42.145, "docs_per_sec": 189821.9, "rows_per_sec": 1708396.8}}
+2M: {{"docs": 2000000, "rows": 17999989, "agg_groups": 208523,
+     "wall_s": 14.797, "docs_per_sec": 135158.1}}
+8M: {{"docs": 8000000, "rows": 71999980, "agg_groups": 834039,
+     "wall_s": 55.346, "docs_per_sec": 144544.4}}
 ```
 
-189.8k docs/s vs 190.7k at 2M docs — throughput flat (−0.5%) across a
-4x data scale-up: wall scales linearly with input, the partial+final
-aggregate absorbs the 4x group growth, no memory pressure (16g heap
-unchanged). Regenerate:
+144.5k docs/s at 8M vs 135.2k at 2M — throughput FLAT-TO-UP (+6.9%)
+across a 4x data scale-up with 4x the aggregate-group cardinality:
+wall scales (sub)linearly with input, the partial+final aggregate
+absorbs the group growth, no memory pressure. (Round 1's
+pre-fidelity code measured 189.8k/190.7k on the same check.)
+Regenerate:
 `spark-submit ... jobs/run_pipeline.py /tmp/loganalyzer_bench/pages_8000000`.
 
 ## Tuning notes (measured on this VM, 2M docs)
