@@ -59,6 +59,12 @@ def asof_join(
     out matches older than the given horizon (pandas merge_asof
     ``tolerance``).
 
+    NULL keys never match (SQL equality semantics, matching DuckDB's
+    ASOF JOIN): right rows with a NULL key are dropped, and left rows
+    with a NULL key keep NULL payload. Without the explicit filter,
+    Window.partitionBy would group all NULL keys into ONE partition and
+    silently match them to each other.
+
     Scale shape: ONE Exchange per side (the union shuffles on the key),
     one per-partition sort, and a linear running-carry window — no
     range predicate ever reaches a join operator, so Catalyst never
@@ -71,12 +77,22 @@ def asof_join(
     clash = reserved & set(left.columns)
     if clash:
         raise ValueError(f"left columns collide with internals: {clash}")
+    out_aliases = {prefix + right_ts, *(prefix + c for c in payload)}
+    out_clash = out_aliases & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"left columns collide with output aliases {sorted(out_clash)}; "
+            f"pick a different prefix= or rename the left columns"
+        )
     tiebreak = tiebreak or (payload[0] if payload else right_ts)
 
     p_struct = F.struct(
         F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload]
     )
-    r = right.select(
+    # NULL-key right rows can never be matched by SQL equality; drop
+    # them BEFORE the union so the NULL window partition (partitionBy
+    # groups NULLs together) carries no payload onto NULL-key left rows.
+    r = right.where(F.col(right_on).isNotNull()).select(
         F.col(right_on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
@@ -138,8 +154,19 @@ def interval_join(
     ``bucket_seconds`` ≈ the typical interval length: candidate rows
     per point ≈ intervals overlapping its bucket, never the whole key
     history. Column names of the two inputs must be disjoint (alias
-    before calling, as with any self-join).
+    before calling, as with any self-join) — validated up front, since
+    a collision would otherwise surface downstream as a confusing
+    ambiguous-reference error.
     """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points/intervals column names must be disjoint; shared: "
+            f"{sorted(overlap)} — alias one side before calling"
+        )
+    for side, cols in (("points", points.columns), ("intervals", intervals.columns)):
+        if "_b" in cols:
+            raise ValueError(f"{side} column '_b' collides with the bucket internal")
     bs = F.lit(int(bucket_seconds))
     iv = intervals.withColumn(
         "_b",

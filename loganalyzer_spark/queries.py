@@ -2738,7 +2738,14 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01, so the no-match branch is exercised). Spark side: union +
     one hash Exchange per side + running last(ignorenulls) window
     (operators/temporal.py::asof_join). Oracle: DuckDB's NATIVE ASOF
-    JOIN — independent machinery for the same semantics."""
+    JOIN — independent machinery for the same semantics. Edge contract
+    (keeps the hash stable if datagen ever changes): NULL user_ids never
+    match on either side (asof_join drops right NULL keys; DuckDB's
+    equality never matches NULL), and right-side (user_id, ts) ties are
+    broken by highest event_id in asof_join while DuckDB's pick is
+    UNSPECIFIED — ties never fire on the current events table; a
+    tie-bearing datagen would need an oracle with an explicit
+    tiebreak."""
     from loganalyzer_spark.operators import temporal as T
 
     ev = spark.read.parquet(_t(sf_dir, "events"))

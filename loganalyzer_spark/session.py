@@ -51,7 +51,22 @@ def get_spark(
         # 16g is the measured sweet spot on this 32-core VM: 8g doubles
         # GC time at 32 threads, 48g collapses throughput ~4x
         # (ParallelGC scans of a huge cold heap); see BENCH/BASELINE.md.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", (_mem := os.environ.get("SPARK_DRIVER_MEM", "16g")))
+        # Pre-touch the whole heap at JVM launch: this VM's virtio
+        # free-page-reporting discards freed guest pages, so LAZY heap
+        # growth faults fresh pages mid-run at host-paging speed —
+        # observed 5x wall inflation on unchanged plans (BENCH_r03) and
+        # 27k → 49k docs/s on the executor ladder when fixed
+        # (BENCH/EXECUTORS.md). -Xms=-Xmx + AlwaysPreTouch moves the
+        # fault cost to startup, outside every timed window. Only the
+        # FIRST getOrCreate in a process launches the JVM, so the
+        # startup cost is paid once.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS", f"-Xms{_mem} -XX:+AlwaysPreTouch"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # measured on this VM (BENCH/BASELINE.md): small parquet files

@@ -48,8 +48,11 @@ def streaming_dedup(
 
 def run_append_to_memory(df: DataFrame, name: str = "dedup_out"):
     """Drive the dedup stream over the files currently present (append
-    mode — the only mode dedup supports) and stop; results land in the
-    in-memory table ``name``."""
+    mode — the only mode dedup supports); results land in the in-memory
+    table ``name``. Returns the STILL-ACTIVE query so the caller can
+    feed more batches and re-call processAllAvailable(); the caller owns
+    shutdown and must ``q.stop()`` when done (as the tests do) — the
+    state store and memory sink stay open until then."""
     q = (
         df.writeStream.outputMode("append")
         .format("memory")

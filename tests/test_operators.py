@@ -995,6 +995,48 @@ def test_interval_join_equals_bruteforce(spark):
     assert got == want and len(want) > 50
 
 
+def test_temporal_join_validation_and_null_keys(spark):
+    """asof_join: NULL keys never match (SQL equality / DuckDB ASOF
+    semantics, not window-partition NULL grouping) and output-alias
+    collisions raise; interval_join: overlapping input column names
+    raise instead of surfacing as ambiguous-reference plan errors."""
+    import datetime as dt
+
+    import pytest
+
+    from loganalyzer_spark.operators.temporal import asof_join, interval_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, None, t0 + dt.timedelta(minutes=10)), (2, 7, t0)],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(None, t0, 91), (7, t0, 92)],
+        "user_id BIGINT, ts TIMESTAMP, rid BIGINT",
+    )
+    out = {r["event_id"]: r["r_rid"] for r in asof_join(
+        left, right, on="user_id", payload=["rid"]
+    ).collect()}
+    # NULL-key left row must NOT pick up the NULL-key right row
+    assert out[1] is None
+    assert out[2] == 92
+
+    # left already has an 'r_ts' column → collides with prefix+right_ts
+    with pytest.raises(ValueError, match="output aliases"):
+        asof_join(
+            left.withColumn("r_ts", left["ts"]), right,
+            on="user_id", payload=["rid"],
+        )
+
+    pts = spark.createDataFrame([(1, 3, t0)], "pid BIGINT, k BIGINT, ts TIMESTAMP")
+    iv = spark.createDataFrame(
+        [(1, 3, t0, t0)], "iid BIGINT, ik BIGINT, ts TIMESTAMP, end_ts TIMESTAMP"
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join(pts, iv, "k", "ik", ts="ts", start="ts", end="end_ts")
+
+
 def test_bucketed_fact_fact_join_no_exchange(spark):
     """write_bucketed: two fact tables bucketed on the same key must
     join with ZERO shuffle exchange (the 100 TB co-location claim), and

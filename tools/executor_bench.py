@@ -130,6 +130,7 @@ def main() -> None:
     best: dict[int, float] = {}
     spread: dict[int, list[float]] = {}
     probes: dict[int, list[float]] = {}
+    under_registered: dict[int, int] = {}
     for n in EXECUTORS:
         rates = []
         rejected = []
@@ -155,12 +156,15 @@ def main() -> None:
                 f"(probe {probe} MB/s, execs {got_exec})",
                 flush=True,
             )
+        under_registered[n] = len(rejected)
         if not rates:
             # every rep under-registered (should not happen with
             # minRegisteredResourcesRatio=1.0) — publish the rejected
-            # rates rather than crash, clearly understating the rung.
+            # rates rather than crash, but mark the rung loudly: the
+            # row understates the rung (fewer executors than claimed)
+            # and must NOT read like a roster-verified measurement.
             rates = rejected
-            probes[n] = [0.0] * len(rates)
+            probes[n] = []
         # best-of, not median: virtio free-page-reporting degradation is
         # one-sided (only ever slows a run), so max docs/s estimates the
         # plan's own speed; the spread is published alongside.
@@ -175,15 +179,31 @@ def main() -> None:
         "n_docs": n_docs,
         **{f"docs_per_sec_{n}x{CORES_PER_EXEC}": best[n] for n in EXECUTORS},
         **{f"eff_{lo}_to_{hi}_executors": eff(lo, hi) for lo, hi in pairs},
-        "min_probe_mb_s": min(p for ps in probes.values() for p in ps),
+        "min_probe_mb_s": min(
+            (p for ps in probes.values() for p in ps), default=0.0
+        ),
+        # rungs whose published best came ONLY from under-registered
+        # reps (roster smaller than claimed) — their rows understate.
+        "under_registered_rungs": [
+            n for n in EXECUTORS if under_registered[n] and not probes[n]
+        ],
+        "rejected_reps": {n: c for n, c in under_registered.items() if c},
     }
     print(json.dumps(summary))
 
-    rows = "\n".join(
-        f"| {n} × {CORES_PER_EXEC} cores | {best[n]} | {spread[n]} |"
-        f" {sorted(probes[n])} |"
-        for n in EXECUTORS
-    )
+    def row(n: int) -> str:
+        if not probes[n]:  # fallback: all reps were under-registered
+            return (
+                f"| {n} × {CORES_PER_EXEC} cores | {best[n]} "
+                f"(**UNDER-REGISTERED** — all {under_registered[n]} reps ran "
+                f"on fewer executors; understates the rung) | {spread[n]} | — |"
+            )
+        return (
+            f"| {n} × {CORES_PER_EXEC} cores | {best[n]} | {spread[n]} |"
+            f" {sorted(probes[n])} |"
+        )
+
+    rows = "\n".join(row(n) for n in EXECUTORS)
     effs = "\n".join(f"| {lo} → {hi} executors | {eff(lo, hi)} |" for lo, hi in pairs)
     with open(os.path.join(REPO, "BENCH", "EXECUTORS.md"), "w") as f:
         f.write(
