@@ -193,14 +193,22 @@ def lm_perplexity(
     corpus: DataFrame,
     reference: DataFrame,
     text: str = "text",
-    head_cut: float = 33.0,
-    tail_cut: float = 35.0,
+    head_cut: float | None = None,
+    tail_cut: float | None = None,
 ) -> DataFrame:
     """CCNet-style LM quality scoring (Wenzek et al. 2020): score every
     corpus doc by bigram-LM perplexity under a model trained on a
-    trusted reference slice, then bucket into head/middle/tail by fixed
-    perplexity cutoffs (CCNet computes the cutoffs once, offline, from
-    the LM's own distribution — here they are arguments).
+    trusted reference slice, then bucket into head/middle/tail.
+
+    Cutoffs follow the actual CCNet recipe by default: Wenzek et al.
+    derive per-language head/tail boundaries as terciles of the LM's
+    own perplexity distribution, computed once offline. Here, when
+    ``head_cut``/``tail_cut`` are None, the reference slice is scored
+    under its own LM and the cutoffs are the exact interpolated 1/3 and
+    2/3 percentiles of its per-doc ppl (rounded to 4 dp) — a 1-row
+    broadcast dim, so deriving them adds no shuffle to the corpus side.
+    Pass explicit floats to pin the boundaries instead (the pre-round-4
+    behavior).
 
     Model: add-one-smoothed bigram LM.
       logp(w2 | w1) = ln((c(w1,w2) + 1) / (c(w1) + V))
@@ -244,9 +252,6 @@ def lm_perplexity(
         F.count_distinct("t").alias("v")
     )
 
-    exploded = corpus.select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id", "b.g1", "b.g2"
-    )
     lp = F.round(
         F.log(
             (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
@@ -254,20 +259,41 @@ def lm_perplexity(
         ),
         6,
     )
-    scored = (
-        exploded.join(F.broadcast(c12), ["g1", "g2"], "left")
-        .join(F.broadcast(c1), ["g1"], "left")
-        .crossJoin(F.broadcast(vocab))
-        .select("doc_id", lp.alias("lp"))
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("lp"), 4).alias("avg_logp"),
-    )
-    ppl = F.round(F.exp(-F.col("avg_logp")), 2)
+
+    def _scored(docs: DataFrame) -> DataFrame:
+        exploded = docs.select(
+            "doc_id", F.explode(bigrams).alias("b")
+        ).select("doc_id", "b.g1", "b.g2")
+        sc = (
+            exploded.join(F.broadcast(c12), ["g1", "g2"], "left")
+            .join(F.broadcast(c1), ["g1"], "left")
+            .crossJoin(F.broadcast(vocab))
+            .select("doc_id", lp.alias("lp"))
+        )
+        per = sc.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logp"),
+        )
+        return per.withColumn("ppl", F.round(F.exp(-F.col("avg_logp")), 2))
+
+    per_doc = _scored(corpus)
+    if head_cut is None or tail_cut is None:
+        # CCNet recipe: cutoffs = terciles of the LM's own ppl
+        # distribution over the (bounded) reference slice. Exact
+        # interpolated `percentile` — the same estimator the
+        # doc_length_quantiles surface certifies — as a 1-row broadcast
+        # dim; the corpus side gains zero exchanges.
+        cuts = _scored(reference).agg(
+            F.round(F.expr("percentile(ppl, 1.0/3.0)"), 4).alias("_hc"),
+            F.round(F.expr("percentile(ppl, 2.0/3.0)"), 4).alias("_tc"),
+        )
+        per_doc = per_doc.crossJoin(F.broadcast(cuts))
+        hc, tc = F.col("_hc"), F.col("_tc")
+    else:
+        hc, tc = F.lit(float(head_cut)), F.lit(float(tail_cut))
     bucket = (
-        F.when(F.col("ppl") < head_cut, F.lit("head"))
-        .when(F.col("ppl") < tail_cut, F.lit("middle"))
+        F.when(F.col("ppl") < hc, F.lit("head"))
+        .when(F.col("ppl") < tc, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return per_doc.withColumn("ppl", ppl).withColumn("lm_bucket", bucket)
+    return per_doc.withColumn("lm_bucket", bucket).drop("_hc", "_tc")

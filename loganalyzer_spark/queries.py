@@ -78,6 +78,14 @@ _DEMOTED = [
                                     # two-phase agg certified by tfidf_buckets
     "topk_counts_per_bucket",       # ≡ topk_orders_per_priority (same window
                                     # row_number top-k shape), T1 evidence
+    "customers_without_orders",     # anti-join shape re-certified in-window by
+                                    # near_dup_survivors (operators/dedup.py
+                                    # survivors anti join); slot freed for the
+                                    # distinct exact-quantile surface
+    "anomaly_windows",              # window-bounds join-back certified by
+                                    # sliding_window_counts + the tumbling
+                                    # shape; slot freed for ROLLUP grouping
+                                    # sets (distinct aggregate surface)
 ]
 
 
@@ -2556,27 +2564,34 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(ln((coalesce(c12.c12, 0) + 1.0)
                       / (coalesce(c1.c1, 0) + v.v)), 6) AS lp
       FROM big b LEFT JOIN c12 USING (g1, g2) LEFT JOIN c1 USING (g1)
-           CROSS JOIN v
-      WHERE b.doc_id % 31 <> 3),
+           CROSS JOIN v),
     agg AS (
       SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logp
       FROM scored GROUP BY doc_id),
     fin AS (SELECT doc_id, n_bigrams, avg_logp,
-                   round(exp(-avg_logp), 2) AS ppl FROM agg)
+                   round(exp(-avg_logp), 2) AS ppl FROM agg),
+    cuts AS (
+      SELECT round(quantile_cont(ppl, 1.0/3.0), 4) AS hc,
+             round(quantile_cont(ppl, 2.0/3.0), 4) AS tc
+      FROM fin WHERE doc_id % 31 = 3)
     SELECT doc_id, n_bigrams, avg_logp, ppl,
-           CASE WHEN ppl < 33.0 THEN 'head'
-                WHEN ppl < 35.0 THEN 'middle'
+           CASE WHEN ppl < hc THEN 'head'
+                WHEN ppl < tc THEN 'middle'
                 ELSE 'tail' END AS lm_bucket
-    FROM fin ORDER BY doc_id
+    FROM fin CROSS JOIN cuts
+    WHERE doc_id % 31 <> 3 ORDER BY doc_id
     """,
 )
 def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus quality scoring: add-one-smoothed bigram-LM
     perplexity per doc under a model trained on the deterministic
     reference slice (doc_id % 31 = 3 as the trusted-corpus stand-in),
-    bucketed head/middle/tail at fixed cutoffs (the sf0.01 terciles).
-    LM count dims broadcast; the per-doc mean partial-aggregates
-    map-side so the one exchange carries |docs| rows.
+    bucketed head/middle/tail at cutoffs DERIVED as the reference
+    slice's own ppl terciles (exact interpolated percentile — the
+    Wenzek et al. recipe, not hard-coded boundaries). The cutoff dim is
+    1 broadcast row; LM count dims broadcast; the per-doc mean
+    partial-aggregates map-side so the corpus-side exchange carries
+    |docs| rows. Oracle re-derives the cutoffs via quantile_cont.
     Output: (doc_id, n_bigrams, avg_logp, ppl, lm_bucket)."""
     docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
     ref = docs.filter(F.col("doc_id") % 31 == 3)

@@ -812,7 +812,7 @@ def test_lm_perplexity_smoothed_bigram(spark):
     )
     out = {
         r["doc_id"]: r
-        for r in W.lm_perplexity(corpus, ref).collect()
+        for r in W.lm_perplexity(corpus, ref, head_cut=33.0, tail_cut=35.0).collect()
     }
     assert set(out) == {0, 1}
 
@@ -824,8 +824,19 @@ def test_lm_perplexity_smoothed_bigram(spark):
     # c(c,a)=0 and c1(c)=0: add-one smoothing floors at ln(1/V)
     lp1 = round(log(1 / 3), 6)
     assert out[1]["avg_logp"] == round(lp1, 4)
-    # bucket cutoffs: both ppl values are tiny -> head
+    # explicit cutoffs: both ppl values are tiny -> head
     assert out[0]["lm_bucket"] == "head" and out[1]["lm_bucket"] == "head"
+
+    # Derived-cutoff mode (the CCNet default): the single ref doc's own
+    # ppl is both terciles. ref "a b a b c" -> 4 bigrams with lps
+    # ln(3/5), ln(2/5), ln(3/5), ln(2/5); avg rounds to -0.7136,
+    # ppl = round(exp(0.7136), 2) = 2.04. doc0 ppl 1.67 < 2.04 -> head;
+    # doc1 ppl 3.0 >= 2.04 -> tail.
+    derived = {
+        r["doc_id"]: r["lm_bucket"]
+        for r in W.lm_perplexity(corpus, ref).collect()
+    }
+    assert derived == {0: "head", 1: "tail"}
 
 
 def test_model_zoo_kernels(spark):
