@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # (a_k, b_k) parameters for the k-th universal hash h_k(x) = (a*x + b) % P.
@@ -495,3 +495,114 @@ def connected_components(
             "raise max_iter (labels would be wrong for long chains)"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (substring) dedup — repeated spans ACROSS documents
+# ---------------------------------------------------------------------------
+
+
+def passage_grams(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """Positional word k-gram fingerprints: one row per window.
+
+    Output: (key, pos, gh) where pos is the 1-based token index of the
+    window start and gh the 60-bit md5 hash of the k tokens joined by a
+    single space (tokens = ``split(lower(text), '\\s+')`` — the same
+    tokenizer as :func:`with_shingles`). Docs shorter than ``k`` tokens
+    emit nothing. ``stride`` subsamples start positions (1, 1+stride,
+    ...) — the scale knob: the exploded row count is |tokens|/stride.
+
+    Unlike :func:`minhash_signatures` (whole-doc similarity), positions
+    are KEPT — this is the primitive for substring-level dedup (the
+    suffix-array recipe of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", re-expressed as fixed-width
+    window fingerprints so it runs as plain exchanges instead of a
+    global suffix sort). Plays the role the reference's duplicate-line
+    checker (misc_tools.py:35-43) plays at line granularity, lifted to
+    arbitrary cross-document passages.
+    """
+    w = f"split(lower({text}), '\\\\s+')"
+    expr = (
+        f"CASE WHEN size({w}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size({w}) - {k} + 1, {stride}), "
+        f"i -> struct(i AS pos, conv(substring(md5("
+        f"array_join(slice({w}, i, {k}), ' ')), 1, 15), 16, 10) AS ghs)) END"
+    )
+    return (
+        docs.select(F.col(key), F.explode(F.expr(expr)).alias("g"))
+        .select(
+            key,
+            F.col("g.pos").cast("long").alias("pos"),
+            F.col("g.ghs").cast("long").alias("gh"),
+        )
+    )
+
+
+def repeated_passages(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Cross-document repeated spans (boilerplate / license blocks):
+    maximal runs of word k-gram windows whose grams each occur in at
+    least ``min_docs`` DISTINCT documents.
+
+    Per doc, hit windows sorted by pos are merged while consecutive
+    starts are <= k apart (overlapping or exactly adjacent windows =
+    one contiguous repeated region). Output one row per span:
+    (key, span_start, span_end, span_len, n_windows, max_docs) with
+    token-index bounds inclusive, span_len = span_end - span_start + 1,
+    and max_docs = the widest cross-doc frequency among the span's
+    grams.
+
+    Scale shape (100 TB): the gram explode is |tokens|/stride rows —
+    inherent to substring dedup (the suffix-array equivalent sorts the
+    same volume); doc-frequency is a two-phase count_distinct keyed on
+    the (uniform) gram hash, so no skew; the gram->frequency join is an
+    equi-join on gh — Catalyst broadcasts the frequency dim while its
+    size estimate is under the threshold and falls back to a shuffle
+    join as the repeated-gram set grows with the corpus (the right call
+    at each scale; nothing is force-broadcast); the span merge shuffles
+    once more on the doc key and sorts only each doc's HIT windows, not
+    all windows. No exchange carries more than the exploded gram
+    volume; nothing is driver-side.
+    """
+    grams = passage_grams(docs, key, text, k, stride)
+    freq = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(key).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    hits = grams.join(freq, "gh")
+    w = Window.partitionBy(key).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | ((F.col("pos") - F.lag("pos").over(w)) > k),
+        1,
+    ).otherwise(0)
+    island = F.sum("brk").over(
+        Window.partitionBy(key).orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("brk", brk)
+        .withColumn("island", island)
+        .groupBy(key, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("n_docs").alias("max_docs"),
+        )
+        .drop("island")
+    )

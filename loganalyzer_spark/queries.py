@@ -86,6 +86,11 @@ _DEMOTED = [
                                     # sliding_window_counts + the tumbling
                                     # shape; slot freed for ROLLUP grouping
                                     # sets (distinct aggregate surface)
+    "doc_fingerprints",             # k-gram window hashing certified
+                                    # per-position by repeated_passages and
+                                    # the min-reduce of gram hashes inside
+                                    # in-window minhash_lsh_near_dups; slot
+                                    # freed for passage-level dedup
 ]
 
 
@@ -1072,6 +1077,79 @@ FROM _bits GROUP BY doc_id
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (distinct-token, unweighted)."""
     return DD.simhash(_docs2_spark(spark, sf_dir), bits=32)
+
+
+# 14 words, lowercase, single-spaced: the planted cross-document
+# boilerplate block for the passage-dedup oracle (suffix-planted on
+# doc_id % 7 = 2, prefix-planted on doc_id % 7 = 5).
+_BOILERPLATE = (
+    "this software is provided as is without any express or implied "
+    "warranty of merchantability"
+)
+
+
+@register(
+    "repeated_passages",
+    f"""
+    WITH _pd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN text || ' {_BOILERPLATE}'
+                  WHEN doc_id % 7 = 5 THEN '{_BOILERPLATE} ' || text
+                  ELSE text END AS text
+      FROM documents),
+    _tok AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+             FROM _pd),
+    _g AS (
+      SELECT doc_id, cast(i AS BIGINT) AS pos,
+             {_H60.format("array_to_string(w[i:i+7], ' ')")} AS gh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+            FROM _tok)
+      WHERE i IS NOT NULL),
+    _f AS (SELECT gh, count(DISTINCT doc_id) AS n_docs FROM _g GROUP BY gh
+           HAVING count(DISTINCT doc_id) >= 2),
+    _h AS (SELECT g.doc_id, g.pos, f.n_docs FROM _g g JOIN _f f USING (gh)),
+    _b AS (SELECT doc_id, pos, n_docs,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > 8
+                  THEN 1 ELSE 0 END AS brk
+           FROM _h),
+    _i AS (SELECT doc_id, pos, n_docs,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM _b)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 8 - min(pos) AS span_len,
+           count(*) AS n_windows, max(n_docs) AS max_docs
+    FROM _i GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (substring) dedup: maximal spans of word-8-gram
+    windows that repeat across >= 2 distinct documents — the Lee et
+    al. 2022 suffix-array recipe as fixed-width window fingerprints. A
+    14-word license block is planted (suffix on doc_id % 7 = 2, prefix
+    on % 7 = 5) so cross-document boilerplate provably exists at every
+    SF; natural template overlap between synthetic docs is detected
+    identically by both engines. Gram doc-frequency is a two-phase
+    count_distinct on the uniform 60-bit gram hash; the gram->frequency
+    join is a straight equi-join (no broadcast — boilerplate gram sets
+    scale with the corpus); span merge shuffles once on doc_id and
+    sorts only HIT windows. Output: (doc_id, span_start, span_end,
+    span_len, n_windows, max_docs), token indices 1-based inclusive."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    bp = F.lit(_BOILERPLATE)
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" "), bp))
+        .when(F.col("doc_id") % 7 == 5, F.concat(bp, F.lit(" "), "text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    from loganalyzer_spark.operators.dedup import repeated_passages as RP
+
+    return RP(planted, k=8, min_docs=2).orderBy("doc_id", "span_start")
 
 
 @register(

@@ -1080,3 +1080,49 @@ def test_bucketed_fact_fact_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_repeated_passages_planted_boilerplate(spark):
+    """Passage-level dedup must recover planted cross-document blocks
+    exactly: span bounds = the block's token range (boundary windows
+    mixing unique filler never repeat), blocks separated by > k tokens
+    split into distinct spans, and block-free docs emit nothing."""
+    from loganalyzer_spark.operators.dedup import repeated_passages
+
+    block = " ".join(f"b{i}" for i in range(20))      # 20 shared words
+    bx = " ".join(f"x{i}" for i in range(10))          # 10 shared words
+    by = " ".join(f"y{i}" for i in range(10))
+
+    def filler(doc, n, tag="f"):
+        return " ".join(f"u{doc}{tag}{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler(1, 5)} {block} {filler(1, 5, 'g')}"),
+            (2, f"{block} {filler(2, 10)}"),
+            (3, f"{filler(3, 12)} {block}"),
+            (4, filler(4, 15)),                        # no planted block
+            (5, f"{bx} {filler(5, 9)} {by}"),
+            (6, f"{bx} {filler(6, 9)} {by}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = repeated_passages(docs, k=8, min_docs=2).collect()
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"],
+         r["max_docs"])
+        for r in out
+    )
+    assert spans == [
+        (1, 6, 25, 13, 3),    # block at tokens 6..25; 20-8+1 windows
+        (2, 1, 20, 13, 3),
+        (3, 13, 32, 13, 3),
+        (5, 1, 10, 3, 2),     # X block: pure windows at 1..3
+        (5, 20, 29, 3, 2),    # Y block: gap 17 > k -> separate island
+        (6, 1, 10, 3, 2),
+        (6, 20, 29, 3, 2),
+    ]
+    # span_len consistency
+    assert all(
+        r["span_len"] == r["span_end"] - r["span_start"] + 1 for r in out
+    )
