@@ -105,14 +105,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     q_probe_min: dict[str, float] = {}
     q_policy: dict[str, str] = {}
+    # ONE shared warm for the whole bench: the flagship DAG touches
+    # every dim table, the fact scans, and the session's first-job
+    # costs (hadoop conf broadcast, scan codegen, JIT ramp). Per-plan
+    # cold-compile of the OTHER queries lands in each query's first
+    # timed rep, which the settle policy already discards (median of 3
+    # when healthy, min under one-sided noise) — so no per-query warm
+    # pass is needed; dropping them saves ~30 s per driver round.
+    _run_count(registry[HEADLINE[0]](spark, sf_dir))
     for name in HEADLINE:
         if name not in registry:
             continue
-        # warm pass (parquet footers, codegen, JIT), then probe-gated
-        # timing over FRESH plan instances — re-counting the same
-        # DataFrame would reuse AQE's materialized stages and measure
-        # nothing.
-        _run_count(registry[name](spark, sf_dir))
+        # probe-gated timing over FRESH plan instances — re-counting
+        # the same DataFrame would reuse AQE's materialized stages and
+        # measure nothing.
         wall, _, _, probes, healthy = _gated_runs(
             lambda: registry[name](spark, sf_dir)
         )
@@ -141,7 +147,9 @@ def main() -> None:
         routed = pipeline.routed_from_pages(spark, pages)
         return pipeline.sink_aggregates(routed, "1 minute")
 
-    _run_count(build_agg())  # warm (fresh plan below: no AQE stage reuse)
+    # No separate warm: the first timed rep is the cold one and the
+    # settle policy below (median when healthy, min under noise)
+    # discards it; the full per-run spread is published regardless.
     # The e2e section is the bench's biggest memory churner and the
     # most exposed to the virtio free-page-reporting hazard, which is
     # ONE-SIDED (it can only slow a run). Probe after every timed run;

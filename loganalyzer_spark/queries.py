@@ -2971,3 +2971,60 @@ def events_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "bucketed_fact_join",
+    r"""
+    WITH fa AS (SELECT doc_id,
+                       cast(len(string_split_regex(lower(text), '\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+         fb AS (SELECT doc_id, cast(n_chars AS BIGINT) AS n_chars, lang
+                FROM documents)
+    SELECT fa.doc_id, n_tokens, n_chars, lang
+    FROM fa JOIN fb USING (doc_id)
+    ORDER BY fa.doc_id
+    """,
+)
+def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over two tables written with
+    sources.tables.write_bucketed on the same key: the registered-query
+    evidence for the zero-exchange co-location claim
+    (sources/tables.py::write_bucketed — at 100 TB this is the
+    bucket(n, key) Iceberg transform + storage-partitioned joins). The
+    callable ASSERTS the bucketed plan contains no shuffle exchange
+    (broadcast disabled for the check, so co-location alone carries the
+    join), then returns the joined rows for the value-hash gate; the
+    oracle re-derives the same join from the raw parquet."""
+    from loganalyzer_spark.sources.tables import write_bucketed
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    fa = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    fb = docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "lang")
+    write_bucketed(fa, "bfj_a", ["doc_id"], n_buckets=16, sort_cols=["doc_id"])
+    write_bucketed(fb, "bfj_b", ["doc_id"], n_buckets=16, sort_cols=["doc_id"])
+    joined = (
+        spark.table("bfj_a")
+        .join(spark.table("bfj_b"), "doc_id")
+        .select("doc_id", "n_tokens", "n_chars", "lang")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        if "Exchange hashpartitioning" in plan:
+            raise AssertionError(
+                "bucketed fact-fact join planned a shuffle exchange — "
+                "bucket co-location metadata was not honored"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return joined.orderBy("doc_id")
