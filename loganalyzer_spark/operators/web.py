@@ -297,3 +297,107 @@ def lm_perplexity(
         .otherwise(F.lit("tail"))
     )
     return per_doc.withColumn("lm_bucket", bucket).drop("_hc", "_tc")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: str = "is_target",
+    text: str = "text",
+    buckets: int = 1024,
+    keep_quantile: float = 0.75,
+) -> DataFrame:
+    """DSIR data selection: hashed-n-gram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling").
+
+    Features are word unigrams + bigrams WITH multiplicity, hashed into
+    ``buckets`` buckets. The target distribution p is estimated from
+    rows where ``is_target`` is true, the raw distribution q from the
+    whole input (the target rows are part of the corpus); both are
+    add-one smoothed over the bucket space. Per document:
+
+        logw = sum over gram occurrences of
+               ln((tgt_b + 1)/(TGT + B)) - ln((raw_b + 1)/(RAW + B))
+
+    and ``keep`` marks the top ``1 - keep_quantile`` fraction by logw
+    (deterministic variant of the paper's Gumbel-top-k resampling; the
+    cutoff is the exact interpolated percentile of the scored corpus,
+    the same estimator doc_length_quantiles certifies).
+
+    ``logw`` is published in integer micro-units (``logw_micro`` =
+    sum of round(log_ratio * 1e6) per gram occurrence, a BIGINT): sums
+    of 6-decimal doubles land exactly on the decimal rounding grid, so
+    a float ``round(sum, 3)`` flips between engines on half-way cases
+    (observed at sf0.01: -0.8375 -> -0.838 vs -0.837). Integer sums are
+    order-independent and exact in both engines.
+
+    Scale (100 TB): two corpus scans, both ending in map-side partial
+    aggregates — the dim pass shuffles ≤ ``buckets`` rows per map task,
+    the scoring pass shuffles one row per document after a broadcast
+    join against the ≤ ``buckets``-row log-ratio dim. No per-row
+    Python, no window over the corpus. The cutoff pass runs exact
+    `percentile` over |docs| doubles (single reducer); at 100 TB swap
+    `percentile_approx` or a fixed cutoff — the exact form is the
+    oracle the sketch would be judged against.
+
+    Rounding contract: per-bucket log_ratio rounds to 6 decimals (ln
+    outputs are irrational, never on the 5e-7 grid — both engines agree
+    on the decimal), then scales to exact micro-longs; the percentile
+    cutoff (a double interpolated from identical longs) rounds to 6.
+    """
+    from loganalyzer_spark.operators.dedup import _hash60
+
+    w = F.split(F.col(text), " ")
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.array_join(F.slice(w, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id",
+        F.col(is_target).alias("_tgt"),
+        F.explode(F.concat(w, bi)).alias("gram"),
+    ).select(
+        "doc_id",
+        "_tgt",
+        F.pmod(_hash60(F.col("gram")), F.lit(buckets)).alias("bucket"),
+    )
+
+    dim = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    tot = dim.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    b = float(buckets)
+    ratio = dim.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("tgt_cnt") + F.lit(1.0)) / (F.col("tgt_tot") + F.lit(b)))
+            - F.log((F.col("raw_cnt") + F.lit(1.0)) / (F.col("raw_tot") + F.lit(b))),
+            6,
+        ).alias("log_ratio"),
+    )
+
+    scored = (
+        grams.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.round(F.col("log_ratio") * 1e6).cast("long")).alias(
+                "logw_micro"
+            ),
+        )
+    )
+    cut = scored.agg(
+        F.round(F.expr(f"percentile(logw_micro, {keep_quantile})"), 6).alias("_cut")
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_grams",
+        "logw_micro",
+        (F.col("logw_micro") >= F.col("_cut")).alias("keep"),
+    )

@@ -91,6 +91,18 @@ _DEMOTED = [
                                     # the min-reduce of gram hashes inside
                                     # in-window minhash_lsh_near_dups; slot
                                     # freed for passage-level dedup
+    "token_stats",                  # token counting re-certified in-window
+                                    # by quality_filter (n_toks is the same
+                                    # _tokens size; only the trivial
+                                    # ceil(chars/4) subword projection is
+                                    # unique); slot freed for the DSIR
+                                    # importance-weight surface
+    "bucketed_fact_join",           # the claim under test is the layout (zero
+                                    # shuffle exchange), ASSERTED inside the
+                                    # callable on every local-gate run; the
+                                    # join->rows shape itself is certified
+                                    # in-window by tpch_q5. VERDICT r03 item 7
+                                    # asked for local-gate evidence here.
 ]
 
 
@@ -3028,3 +3040,54 @@ def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     return joined.orderBy("doc_id")
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                  FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(w) AS g FROM toks),
+    biz AS (SELECT doc_id, lang,
+                   unnest(w[1:len(w)-1]) AS g1, unnest(w[2:len(w)]) AS g2
+            FROM toks WHERE len(w) >= 2),
+    bi AS (SELECT doc_id, lang, g1 || ' ' || g2 AS g FROM biz),
+    grams AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    dim AS (
+      SELECT bucket, count(*) AS raw_cnt,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_cnt
+      FROM grams GROUP BY bucket),
+    tot AS (SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM dim),
+    ratio AS (
+      SELECT bucket,
+             round(ln((tgt_cnt + 1.0) / (tgt_tot + 1024.0))
+                   - ln((raw_cnt + 1.0) / (raw_tot + 1024.0)), 6) AS log_ratio
+      FROM dim CROSS JOIN tot),
+    scored AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(cast(round(r.log_ratio * 1000000) AS BIGINT)) AS logw_micro
+      FROM grams g JOIN ratio r USING (bucket) GROUP BY g.doc_id),
+    cut AS (SELECT round(quantile_cont(logw_micro, 0.75), 6) AS c FROM scored)
+    SELECT doc_id, n_grams, logw_micro, logw_micro >= c AS keep
+    FROM scored CROSS JOIN cut ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance weights for every document against the English slice as
+    the target distribution (lang = 'en' — the "trusted corpus" stand-in
+    the way lm_perplexity uses its doc_id-mod slice), add-one smoothing
+    over 1024 buckets, keep = top quartile by weight at a cutoff DERIVED
+    as the scored corpus's own exact 0.75 percentile. Weights publish
+    as exact integer micro-units (logw_micro) — see
+    operators/web.py::dsir_weights for the scale contract (two
+    map-side-combined passes, broadcast log-ratio dim, one |docs|-row
+    exchange) and the rounding contract.
+    Output: (doc_id, n_grams, logw_micro, keep)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_target")
+    )
+    return W.dsir_weights(docs).orderBy("doc_id")

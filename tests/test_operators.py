@@ -839,6 +839,62 @@ def test_lm_perplexity_smoothed_bigram(spark):
     assert derived == {0: "head", 1: "tail"}
 
 
+def test_dsir_importance_weights(spark):
+    """dsir_weights must equal the hand-computed hashed-n-gram
+    importance weights (Xie et al. 2023 eq. 2 with add-one smoothing),
+    and rank target-like documents above off-distribution ones."""
+    import hashlib
+    from collections import Counter
+    from math import log
+
+    from loganalyzer_spark.operators import web as W
+
+    rows = [
+        (0, "the cat sat", True),     # target
+        (1, "the cat ran", True),     # target
+        (2, "the cat sat", False),    # identical to target doc -> high w
+        (3, "zq xv kj", False),       # off-distribution -> low w
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    out = {r["doc_id"]: r for r in W.dsir_weights(docs, buckets=64).collect()}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64
+
+    def grams(t):
+        w = t.split(" ")
+        return w + [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+
+    raw, tgt = Counter(), Counter()
+    for _, t, is_t in rows:
+        for g in grams(t):
+            raw[bucket(g)] += 1
+            if is_t:
+                tgt[bucket(g)] += 1
+    raw_tot, tgt_tot = sum(raw.values()), sum(tgt.values())
+    ratio = {
+        b: round(
+            log((tgt[b] + 1) / (tgt_tot + 64)) - log((raw[b] + 1) / (raw_tot + 64)),
+            6,
+        )
+        for b in raw
+    }
+    micro = {b: round(v * 1e6) for b, v in ratio.items()}
+    for doc_id, t, _ in rows:
+        gs = grams(t)
+        assert out[doc_id]["n_grams"] == len(gs)
+        assert out[doc_id]["logw_micro"] == sum(micro[bucket(g)] for g in gs)
+
+    # ranking: the target-identical doc outweighs the off-distribution one
+    assert out[2]["logw_micro"] > out[3]["logw_micro"]
+    # keep = logw >= the exact interpolated 0.75 percentile of the corpus
+    import numpy as np
+
+    cut = round(float(np.percentile([r["logw_micro"] for r in out.values()], 75)), 6)
+    for r in out.values():
+        assert r["keep"] == (r["logw_micro"] >= cut)
+
+
 def test_model_zoo_kernels(spark):
     """GNB log-odds, SVM margin and RFC ensemble must equal the numpy
     reference math on hand vectors (the loglizer zoo inference forms)."""
