@@ -757,6 +757,83 @@ def messed_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4 web-text line corpus: every cleaning heuristic planted
+# (Raffel et al. 2020 §2.2 — terminal punctuation, min words,
+# javascript lines, lorem-ipsum / '{' page bans, cross-page
+# boilerplate for keep-first dedup)
+# ---------------------------------------------------------------------------
+
+
+def c4_lines_sql(dialect: str, docs_from: str) -> str:
+    """Web-page line corpus, dual-dialect: (doc_id, line_no, line).
+
+    6–12 lines per page. Line kinds keyed on (doc_id*7 + line_no*3) % 10
+    so every C4 predicate fires non-vacuously:
+      0–3  template sentence with numeric variety, terminal '.'
+           (occasional exact collisions across pages — sentence-level
+           dedup targets)
+      4    '!'-terminated sentence
+      5,6  exact boilerplate repeated across pages (keep-first dedup)
+      7    nav line without terminal punctuation (line-dropped)
+      8    2-word line (min-words drop)
+      9    'javascript' line (line-ban drop)
+    Page-ban plants: doc_id%37==0 gets a 'Lorem ipsum…' line 0;
+    doc_id%41==0 gets a '{'-bearing line 1.
+    """
+    n_lines = "(6 + doc_id % 7)"
+    if dialect == "spark":
+        from_clause = (
+            f"FROM {docs_from} LATERAL VIEW "
+            f"explode(sequence(0, {n_lines} - 1)) _t AS line_no"
+        )
+    else:
+        from_clause = (
+            f"FROM {docs_from}, "
+            f"unnest(generate_series(0, {n_lines} - 1)) AS _t(line_no)"
+        )
+    sql = f"""
+    WITH _c4base AS (
+      SELECT doc_id, line_no,
+             (doc_id * 24693 + line_no * 40503) % 100000 AS r
+      {from_clause}
+    )
+    SELECT doc_id, line_no,
+      CASE
+        WHEN doc_id % 37 = 0 AND line_no = 0 THEN
+          'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'
+        WHEN doc_id % 41 = 0 AND line_no = 1 THEN
+          'var config = {{"theme": ' || cast(r % 3 as varchar) || '}};'
+        WHEN (doc_id * 7 + line_no * 3) % 10 <= 3 THEN
+          'The data pipeline stage ' || cast(r % 97 as varchar) ||
+          ' writes partition ' || cast(r % 13 as varchar) ||
+          ' to the output table.'
+        WHEN (doc_id * 7 + line_no * 3) % 10 = 4 THEN
+          'Query latency was ' || cast(r % 400 as varchar) ||
+          ' milliseconds in the last run!'
+        WHEN (doc_id * 7 + line_no * 3) % 10 = 5 THEN
+          'Subscribe to our newsletter for daily updates.'
+        WHEN (doc_id * 7 + line_no * 3) % 10 = 6 THEN
+          'Copyright 2022 Example Corp. All rights reserved worldwide.'
+        WHEN (doc_id * 7 + line_no * 3) % 10 = 7 THEN
+          'Home About Products Contact'
+        WHEN (doc_id * 7 + line_no * 3) % 10 = 8 THEN
+          'Read more.'
+        ELSE
+          'Please enable javascript to view the interactive charts.'
+      END AS line
+    FROM _c4base
+    """
+    return sql.replace(" as varchar", " as string") if dialect == "spark" else sql
+
+
+def c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).createOrReplaceTempView("__c4_docs")
+    return spark.sql(c4_lines_sql("spark", "__c4_docs"))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB-side dimension literals (for oracle SQL)
 # ---------------------------------------------------------------------------
 

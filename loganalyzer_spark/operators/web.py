@@ -401,3 +401,109 @@ def dsir_weights(
         "logw_micro",
         (F.col("logw_micro") >= F.col("_cut")).alias("keep"),
     )
+
+
+def c4_clean(
+    lines: DataFrame,
+    doc: str = "doc_id",
+    line_no: str = "line_no",
+    line: str = "line",
+    min_words: int = 3,
+    min_kept_lines: int = 5,
+    line_ban: tuple = ("javascript",),
+    page_ban: tuple = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4 cleaning + global keep-first line dedup (Raffel et al. 2020
+    §2.2, "Exploring the Limits of Transfer Learning…" — the Colossal
+    Clean Crawled Corpus recipe).
+
+    Input is one row per page line ``(doc, line_no, line)``. Applied in
+    C4's order:
+
+    1. LINE filters — keep a line iff it is non-blank, has at least
+       ``min_words`` whitespace words, ends in terminal punctuation
+       (``.``, ``!``, ``?`` or a closing double quote) and contains no
+       ``line_ban`` word (C4: "javascript"), case-insensitive.
+    2. PAGE filters — drop a page if any ORIGINAL line contains a
+       ``page_ban`` string (C4: "lorem ipsum", "{"), or if fewer than
+       ``min_kept_lines`` lines survived step 1 (C4's "fewer than 5
+       sentences" rule; here each kept line ends in terminal
+       punctuation, so kept lines ARE the sentence count).
+    3. Corpus-wide keep-first dedup of surviving lines (C4 dedups
+       three-sentence spans; this engine's pages are line-granular, so
+       the unit is one line — the same granularity the reference's
+       duplicate-line checker uses, misc_tools.py:35-43). First
+       occurrence = lexicographic min of (doc, line_no). Lines from
+       dropped pages do NOT participate (C4 dedups the cleaned corpus).
+
+    Output: one row per input page —
+    (doc, n_lines, n_kept, keep_page, n_unique, clean_text) where
+    n_unique / clean_text cover the dedup survivors (0 / '' for dropped
+    pages) and clean_text is the newline-join in line order.
+
+    Scale (100 TB): two doc-keyed partial aggregates (page flags, final
+    rollup), one |lines|-row equi-join against the page verdict, and the
+    dedup dim — min(struct) partial-aggregates map-side so its exchange
+    carries one row per DISTINCT line hash (boilerplate collapses
+    map-side; the Zipf head is absorbed before the shuffle). The
+    join-back is an equi-join on the 60-bit line hash, never on the
+    line string. No windows over the corpus, no driver state.
+    """
+    from loganalyzer_spark.operators.dedup import _hash60
+
+    l = F.col(line)
+    words = F.size(F.split(F.trim(l), r"\s+"))
+    keep_line = (
+        (F.length(F.trim(l)) > 0)
+        & (words >= min_words)
+        & l.rlike('[.!?"]$')
+    )
+    for b in line_ban:
+        keep_line = keep_line & (F.instr(F.lower(l), b.lower()) == 0)
+    ban = F.lit(False)
+    for b in page_ban:
+        ban = ban | (F.instr(F.lower(l), b.lower()) > 0)
+
+    flags = (
+        lines.groupBy(doc)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(keep_line.cast("long")).alias("n_kept"),
+            F.max(ban).alias("_ban"),
+        )
+        .withColumn(
+            "keep_page",
+            (F.col("n_kept") >= min_kept_lines) & ~F.col("_ban"),
+        )
+    )
+
+    kept = (
+        lines.filter(keep_line)
+        .join(flags.filter(F.col("keep_page")).select(doc), doc)
+        .withColumn("_lh", _hash60(l))
+    )
+    first = kept.groupBy("_lh").agg(
+        F.min(F.struct(doc, line_no)).alias("_first")
+    )
+    surv = kept.join(first, "_lh").filter(
+        (F.col(doc) == F.col(f"_first.{doc}"))
+        & (F.col(line_no) == F.col(f"_first.{line_no}"))
+    )
+    rollup = surv.groupBy(doc).agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(line_no, line))),
+                lambda s: s[line],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return flags.join(rollup, doc, "left").select(
+        doc,
+        "n_lines",
+        "n_kept",
+        "keep_page",
+        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

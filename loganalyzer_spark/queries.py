@@ -3091,3 +3091,62 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", (F.col("lang") == "en").alias("is_target")
     )
     return W.dsir_weights(docs).orderBy("doc_id")
+
+
+def _c4_oracle() -> str:
+    return f"""
+    WITH _l AS ({datagen.c4_lines_sql("duckdb", "documents")}),
+    _f AS (
+      SELECT doc_id, line_no, line,
+             (length(trim(line)) > 0
+              AND len(regexp_split_to_array(trim(line), '\\s+')) >= 3
+              AND regexp_matches(line, '[.!?"]$')
+              AND NOT contains(lower(line), 'javascript')) AS keep_line,
+             (contains(lower(line), 'lorem ipsum')
+              OR contains(lower(line), '{{')) AS ban_hit
+      FROM _l),
+    _pages AS (
+      SELECT doc_id, count(*) AS n_lines,
+             sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS n_kept,
+             (sum(CASE WHEN keep_line THEN 1 ELSE 0 END) >= 5
+              AND NOT bool_or(ban_hit)) AS keep_page
+      FROM _f GROUP BY doc_id),
+    _kept AS (
+      SELECT f.doc_id, f.line_no, f.line,
+             ('0x' || substr(md5(f.line), 1, 15))::BIGINT AS lh
+      FROM _f f JOIN _pages p USING (doc_id)
+      WHERE f.keep_line AND p.keep_page),
+    _surv AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY lh
+                                ORDER BY doc_id, line_no) AS rn
+      FROM _kept),
+    _roll AS (
+      SELECT doc_id, count(*) AS n_unique,
+             string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+      FROM _surv WHERE rn = 1 GROUP BY doc_id)
+    SELECT p.doc_id, cast(p.n_lines AS BIGINT) AS n_lines,
+           cast(p.n_kept AS BIGINT) AS n_kept, p.keep_page,
+           cast(coalesce(r.n_unique, 0) AS BIGINT) AS n_unique,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM _pages p LEFT JOIN _roll r USING (doc_id)
+    ORDER BY p.doc_id
+    """
+
+
+@register("c4_clean_docs", _c4_oracle())
+def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 corpus cleaning (Raffel et al. 2020 §2.2) over a staged
+    web-page line corpus planting every heuristic: terminal-punctuation
+    and min-words line filters, the 'javascript' line ban, the
+    'lorem ipsum' / '{' page bans, the ≥5-kept-lines page rule, and
+    corpus-wide keep-first line dedup (cross-page boilerplate planted;
+    first occurrence = lexicographic (doc_id, line_no)). The oracle
+    re-derives the keep-first rule with a row_number window over the
+    same 60-bit line hash. See operators/web.py::c4_clean for the
+    exchange-by-exchange scale contract (dedup dim partial-aggregates
+    map-side, so the boilerplate Zipf head collapses before the
+    shuffle). Output: (doc_id, n_lines, n_kept, keep_page, n_unique,
+    clean_text)."""
+    lines = datagen.c4_lines(spark, sf_dir)
+    return W.c4_clean(lines).orderBy("doc_id")

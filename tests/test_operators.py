@@ -895,6 +895,64 @@ def test_dsir_importance_weights(spark):
         assert r["keep"] == (r["logw_micro"] >= cut)
 
 
+def test_c4_clean(spark):
+    """c4_clean must apply the C4 heuristics in the documented order:
+    line filters, page bans on ORIGINAL lines, >=min_kept page rule,
+    then corpus-wide keep-first dedup among surviving pages only."""
+    from loganalyzer_spark.operators import web as W
+
+    BOILER = "Shared boilerplate sentence appears everywhere."
+    rows = [
+        # doc 0: 8 lines, 5 kept (first boilerplate occurrence) -> kept page
+        (0, 0, "The quick brown fox jumps over the lazy dog."),
+        (0, 1, "Subscribe now."),                                # 2 words
+        (0, 2, "Home About Contact"),                            # no punct
+        (0, 3, "Please enable JavaScript to continue browsing."),  # js ban
+        (0, 4, BOILER),
+        (0, 5, "Another valid sentence with enough words here."),
+        (0, 6, "Yet another valid sentence for the page!"),
+        (0, 7, 'He said the word was "stop."'),
+        # doc 1: lorem-ipsum page ban; its boilerplate must NOT steal
+        # first occurrence from doc 2
+        (1, 0, "Lorem Ipsum dolor sit amet consectetur."),
+        (1, 1, BOILER),
+        # doc 2: 6 kept lines, boilerplate deduped away -> n_unique 5
+        (2, 0, BOILER),
+        (2, 1, "Sentence one about the first topic today."),
+        (2, 2, "Sentence two about the second topic today."),
+        (2, 3, "Sentence three about the third topic today."),
+        (2, 4, "Sentence four about the fourth topic today."),
+        (2, 5, "Sentence five about the fifth topic today."),
+        # doc 3: only 3 kept -> fails the >=5 kept-lines page rule
+        (3, 0, "First valid sentence on this short page."),
+        (3, 1, "Second valid sentence on this short page."),
+        (3, 2, "Third valid sentence on this short page."),
+        (3, 3, "Nav Bar Junk"),
+        # doc 4: '{' page ban
+        (4, 0, 'var config = {"theme": 1};'),
+        (4, 1, "A perfectly fine sentence lives on a banned page."),
+    ]
+    lines = spark.createDataFrame(rows, ["doc_id", "line_no", "line"])
+    out = {r["doc_id"]: r for r in W.c4_clean(lines).collect()}
+
+    assert len(out) == 5
+    d0 = out[0]
+    assert (d0["n_lines"], d0["n_kept"], d0["keep_page"]) == (8, 5, True)
+    assert d0["n_unique"] == 5
+    assert d0["clean_text"].split("\n") == [
+        rows[0][2], BOILER, rows[5][2], rows[6][2], rows[7][2]
+    ]
+    assert out[1]["keep_page"] is False and out[1]["n_unique"] == 0
+    assert out[1]["clean_text"] == ""
+    d2 = out[2]
+    # boilerplate's first occurrence is (0, 4) — doc 2's copy deduped,
+    # doc 1's copy (banned page) never participated
+    assert (d2["n_kept"], d2["keep_page"], d2["n_unique"]) == (6, True, 5)
+    assert BOILER not in d2["clean_text"]
+    assert out[3]["keep_page"] is False  # 3 kept < 5
+    assert out[4]["keep_page"] is False  # '{' ban
+
+
 def test_model_zoo_kernels(spark):
     """GNB log-odds, SVM margin and RFC ensemble must equal the numpy
     reference math on hand vectors (the loglizer zoo inference forms)."""
