@@ -287,3 +287,58 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     # every key exactly once, first delivery wins, new key emitted
     assert got == {(1, 0): "a", (1, 1): "b", (2, 0): "c", (2, 1): "d"}
+
+
+def test_streaming_near_dup_lsh_cross_batch(spark, tmp_path):
+    """Streaming MinHash LSH: band buckets claimed in one micro-batch
+    must flag colliding documents in LATER batches (keyed state), and
+    within-batch collisions emit with the smaller doc as dup_of."""
+    import pandas as pd
+
+    from loganalyzer_spark.streaming.near_dup import streaming_near_dup
+
+    TXT_A = "the quick brown fox jumps over the lazy dog near the river bank"
+    TXT_B = "completely different content about spark shuffle exchanges and joins"
+    TXT_C = "yet another unrelated document mentioning parquet column pruning only"
+
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    schema = "doc_id BIGINT, text STRING"
+    # batch 1: doc 5 duplicates doc 1 in the SAME batch
+    b1 = pd.DataFrame({"doc_id": [1, 2, 5], "text": [TXT_A, TXT_B, TXT_A]})
+    # batch 2: doc 3 duplicates doc 1 ACROSS batches; doc 4 is fresh
+    b2 = pd.DataFrame({"doc_id": [3, 4], "text": [TXT_A, TXT_C]})
+    # one file per batch: maxFilesPerTrigger=1 must see batch 1 whole,
+    # else doc 5 can claim the bucket before doc 1 arrives
+    spark.createDataFrame(b1, schema).repartition(1).write.parquet(src + "/b1")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    out = streaming_near_dup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dups")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        in_batch = {
+            (r["doc_id"], r["dup_of"])
+            for r in spark.sql("SELECT * FROM near_dups").collect()
+        }
+        spark.createDataFrame(b2, schema).repartition(1).write.parquet(src + "/b2")
+        q.processAllAvailable()
+        all_pairs = {
+            (r["doc_id"], r["dup_of"])
+            for r in spark.sql("SELECT * FROM near_dups").collect()
+        }
+    finally:
+        q.stop()
+
+    # identical texts share every band: 5 collides with 1 inside batch 1
+    assert in_batch == {(5, 1)}
+    # cross-batch: doc 3 flags against the bucket doc 1 claimed in batch
+    # 1; fresh docs 2 and 4 never appear
+    assert all_pairs == {(5, 1), (3, 1)}
