@@ -3009,7 +3009,19 @@ def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast disabled for the check, so co-location alone carries the
     join), then returns the joined rows for the value-hash gate; the
     oracle re-derives the same join from the raw parquet."""
+    import os
+    import shutil
+
     from loganalyzer_spark.sources.tables import write_bucketed
+
+    # Re-runnable across sessions: a previous session's saveAsTable
+    # leaves the warehouse DIRECTORY behind while the (in-memory)
+    # catalog forgets the table, and a fresh CREATE then fails with
+    # LOCATION_ALREADY_EXISTS — drop both the entry and the leftover dir.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bfj_a", "bfj_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     fa = docs.select(
@@ -3150,3 +3162,47 @@ def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean_text)."""
     lines = datagen.c4_lines(spark, sf_dir)
     return W.c4_clean(lines).orderBy("doc_id")
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT
+               % 8 AS shard,
+             len(regexp_split_to_array(lower(text), '\s+')) AS n_tok
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 1),
+    c AS (
+      SELECT doc_id, shard, n_tok,
+             cast(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM t)
+    SELECT doc_id, shard, cast(n_tok AS BIGINT) AS n_tok,
+           cum - n_tok AS t_start,
+           (cum - n_tok) // 512 AS pack_first,
+           (cum - 1) // 512 AS pack_last,
+           (cum - n_tok) % 512 AS start_off
+    FROM c ORDER BY doc_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-then-chunk sequence packing (the
+    zero-padding training-context layout): docs hash-sharded into 8
+    independent streams, per-shard running token offsets, each doc's
+    (pack_first, pack_last, start_off) context assignment at
+    ctx_len=512 — straddling docs span two packs and the consumer
+    splits at start_off. See operators/pack.py::pack_sequences for the
+    shard-bounded sort contract (the ONLY exchange is the shard hash
+    partition; no global sort at any scale). Token counts use the same
+    whitespace tokenizer token_stats certifies. Output: (doc_id, shard,
+    n_tok, t_start, pack_first, pack_last, start_off)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok"),
+    )
+    from loganalyzer_spark.operators import pack as PK
+
+    return PK.pack_sequences(docs, ctx_len=512, shards=8).orderBy("doc_id")

@@ -1240,3 +1240,41 @@ def test_repeated_passages_planted_boilerplate(spark):
     assert all(
         r["span_len"] == r["span_end"] - r["span_start"] + 1 for r in out
     )
+
+
+def test_pack_sequences(spark):
+    """pack_sequences must equal hand-computed concatenate-then-chunk
+    offsets per shard, with straddling docs spanning two packs and
+    zero-token docs excluded."""
+    import hashlib
+
+    from loganalyzer_spark.operators import pack as PK
+
+    rows = [(i, t) for i, t in [(0, 7), (1, 4), (2, 10), (3, 0), (4, 6),
+                                (5, 9), (6, 3), (7, 12), (8, 5), (9, 8)]]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = {r["doc_id"]: r for r in
+           PK.pack_sequences(docs, ctx_len=10, shards=2).collect()}
+
+    def shard(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 2
+
+    streams = {0: [], 1: []}
+    for d, t in rows:
+        if t >= 1:
+            streams[shard(d)].append((d, t))
+    assert 3 not in out  # zero-token doc excluded
+    for s, docs_in in streams.items():
+        cum = 0
+        for d, t in sorted(docs_in):
+            r = out[d]
+            assert r["shard"] == s
+            assert r["t_start"] == cum
+            assert r["pack_first"] == cum // 10
+            assert r["pack_last"] == (cum + t - 1) // 10
+            assert r["start_off"] == cum % 10
+            # straddle iff the doc crosses a 10-token boundary
+            assert (r["pack_last"] > r["pack_first"]) == (
+                cum // 10 != (cum + t - 1) // 10
+            )
+            cum += t
