@@ -85,3 +85,76 @@ def oracle_threshold_sql(rate: float) -> str:
     """The DuckDB-side threshold literal for a given rate (shared
     constant so the oracle and the Spark plan cannot drift)."""
     return _threshold_hex(rate)
+
+
+def hash16_int(key: Column | str) -> Column:
+    """hash16 as an integer in [0, 65536) — for thresholds DERIVED
+    in-plan (integer compare; no hex formatting to keep cross-engine)."""
+    return F.conv(hash16(key), 16, 10).cast("long")
+
+
+def domain_mix(
+    df: DataFrame,
+    domain: str,
+    weights: dict[str, int],
+    key: str = "doc_id",
+) -> DataFrame:
+    """Down-sample to TARGET domain proportions (the Pile / DoReMi-style
+    static mixture weights, without upsampling).
+
+    ``weights`` maps domain value → integer mixture parts (e.g.
+    ``{"en": 5, "zh": 2, ...}``); domains absent from ``weights`` are
+    dropped. The achievable corpus size is
+    ``T = min_d floor(n_d * W / w_d)`` (the scarcest domain relative to
+    its target share binds — no domain is ever upsampled), and each
+    domain keeps ``rate_d = (w_d * T) / (W * n_d)`` of its docs by the
+    same deterministic 16-bit hash threshold every sampler here uses,
+    quantized to k/65536.
+
+    Everything is in-plan: one tiny groupBy(domain) count (partial agg,
+    |domains| rows), a 1-row min reduce for T, and a broadcast of the
+    |domains|-row rate dim back onto the scan — the corpus itself never
+    shuffles. Rounding contract: ``k_d = floor((w_d * T * 65536.0) /
+    (W * n_d))`` evaluated in exactly this operand order (documented so
+    the DuckDB oracle is bit-identical; products stay exact in doubles
+    below 2^53 — at corpora past ~1e11 docs per domain switch the dim
+    computation to decimal).
+
+    Returns the kept rows of ``df`` (all original columns).
+    """
+    if not weights:
+        raise ValueError("domain_mix needs at least one weighted domain")
+    W = sum(weights.values())
+    w_expr = None
+    for val, w in sorted(weights.items()):
+        if w <= 0:
+            raise ValueError(f"weight for {val!r} must be positive")
+        cond = F.col(domain) == F.lit(val)
+        w_expr = (
+            F.when(cond, F.lit(w)) if w_expr is None else w_expr.when(cond, F.lit(w))
+        )
+    w_col = w_expr.otherwise(F.lit(None))
+
+    counts = (
+        df.groupBy(domain)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", w_col)
+        .filter(F.col("_w").isNotNull())
+    )
+    t_row = counts.agg(
+        F.min(F.expr(f"(_n * {W}) DIV _w")).alias("_T")
+    )
+    rates = counts.crossJoin(F.broadcast(t_row)).select(
+        domain,
+        F.floor(
+            (F.col("_w").cast("double") * F.col("_T").cast("double") * 65536.0)
+            / (F.lit(float(W)) * F.col("_n").cast("double"))
+        )
+        .cast("long")
+        .alias("_k"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain)
+        .filter(hash16_int(key) < F.col("_k"))
+        .drop("_k")
+    )

@@ -2189,70 +2189,6 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "near_dup_survivors",
-    """
-    SELECT d.doc_id FROM documents d
-    WHERE NOT EXISTS (
-      SELECT 1 FROM (
-        SELECT x.vec_id AS a, y.vec_id AS b
-        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-        WHERE round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
-              (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
-               sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6) >= 0.35
-      ) p WHERE p.b = d.doc_id)
-    """,
-)
-def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup resolution: drop every doc that has an embedding-cosine
-    near-dup with a smaller id (anti join on the pair table)."""
-    from loganalyzer_spark.operators import dedup as DD
-
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    pairs = DD.embedding_near_dups(emb, threshold=0.35)
-    return DD.near_dup_survivors(docs, pairs)
-
-
-@register(
-    "dup_components",
-    # Exact oracle despite the iterative Spark implementation: connected
-    # components = "min reachable id per node", which DuckDB expresses
-    # directly as a recursive CTE (transitive closure over the symmetric
-    # edge set, then MIN per node). Pair derivation is byte-identical to
-    # the embedding_near_dups oracle above.
-    """
-    WITH RECURSIVE
-    p AS (
-      SELECT a, b FROM (
-        SELECT x.vec_id AS a, y.vec_id AS b,
-               round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
-                     (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
-                      sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
-                     6) AS cosine
-        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-      WHERE cosine >= 0.35
-    ),
-    e AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
-    reach(node, m) AS (
-      SELECT x, x FROM (SELECT DISTINCT x FROM e) t
-      UNION
-      SELECT r.node, e2.y FROM reach r JOIN e e2 ON e2.x = r.m
-    )
-    SELECT node, MIN(m) AS comp FROM reach GROUP BY node ORDER BY node
-    """,
-)
-def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup clusters via min-label propagation + pointer
-    doubling (connected components over the near-dup pair graph).
-    Convergence also pinned by tests/test_operators.py::test_connected_components."""
-    from loganalyzer_spark.operators import dedup as DD
-
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    pairs = DD.embedding_near_dups(emb, threshold=0.35)
-    return DD.connected_components(pairs).orderBy("node")
-
-
 def _lsh_near_dup_oracle(
     dim: int = 64, threshold: float = 0.35
 ) -> str:
@@ -2303,6 +2239,74 @@ def _lsh_near_dup_oracle(
                  sqrt(list_dot_product(sb.embedding::DOUBLE[], sb.embedding::DOUBLE[]))),
                 6) >= {threshold}
     """
+
+
+def _survivors_oracle() -> str:
+    return f"""
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({_lsh_near_dup_oracle()}) p WHERE p.b = d.doc_id)
+    """
+
+
+@register("near_dup_survivors", _survivors_oracle())
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution: drop every doc that has an embedding-cosine
+    near-dup with a smaller id (anti join on the pair table). Pairs
+    come from the banded hyperplane-LSH SCALE path
+    (dedup.embedding_near_dups_lsh — a (band_id, band_bits) equi-join
+    with exact rounded-cosine verify), NOT the O(n^2) brute form: at
+    sf0.1 the brute pair build already cost 64 s vs ~10 s for LSH
+    (BENCH/LLMOPS.md), and at 100 TB it does not exist. The oracle
+    re-derives the identical LSH candidates + verify in SQL, so the
+    hash certifies the scale path's survivor set; the brute pair
+    semantics stay certified by the demoted embedding_near_dups /
+    dup_components oracles."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    pairs = DD.embedding_near_dups_lsh(emb, threshold=0.35)
+    return DD.near_dup_survivors(docs, pairs)
+
+
+@register(
+    "dup_components",
+    # Exact oracle despite the iterative Spark implementation: connected
+    # components = "min reachable id per node", which DuckDB expresses
+    # directly as a recursive CTE (transitive closure over the symmetric
+    # edge set, then MIN per node). Pair derivation is byte-identical to
+    # the embedding_near_dups oracle above.
+    """
+    WITH RECURSIVE
+    p AS (
+      SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+      WHERE cosine >= 0.35
+    ),
+    e AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+    reach(node, m) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM e) t
+      UNION
+      SELECT r.node, e2.y FROM reach r JOIN e e2 ON e2.x = r.m
+    )
+    SELECT node, MIN(m) AS comp FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup clusters via min-label propagation + pointer
+    doubling (connected components over the near-dup pair graph).
+    Convergence also pinned by tests/test_operators.py::test_connected_components."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    pairs = DD.embedding_near_dups(emb, threshold=0.35)
+    return DD.connected_components(pairs).orderBy("node")
 
 
 @register("embedding_near_dups_lsh", _lsh_near_dup_oracle())
@@ -3206,3 +3210,46 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loganalyzer_spark.operators import pack as PK
 
     return PK.pack_sequences(docs, ctx_len=512, shards=8).orderBy("doc_id")
+
+
+@register(
+    "domain_mix_sample",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n,
+             CASE lang WHEN 'de' THEN 1 WHEN 'en' THEN 5 WHEN 'es' THEN 1
+                       WHEN 'fr' THEN 1 WHEN 'zh' THEN 2 END AS wt
+      FROM c WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')),
+    t AS (SELECT min((n * 10) // wt) AS tot FROM w),
+    r AS (
+      SELECT lang,
+             cast(floor((cast(wt AS DOUBLE) * cast(tot AS DOUBLE) * 65536.0)
+                        / (10.0 * cast(n AS DOUBLE))) AS BIGINT) AS k
+      FROM w CROSS JOIN t)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 4))::BIGINT < r.k
+    ORDER BY d.doc_id
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-mixture domain rebalancing (the Pile / DoReMi-style
+    weights, CCNet-style language rebalancing): sample the corpus DOWN
+    to target language shares en:de:fr:es:zh = 5:1:1:1:2 without
+    upsampling — the achievable size is bound by the scarcest domain
+    relative to its share, per-domain keep-rates are DERIVED in-plan
+    from the corpus's own counts, and membership is the same
+    deterministic 16-bit hash threshold every sampler here uses. See
+    operators/sample.py::domain_mix for the rounding contract and the
+    zero-corpus-shuffle plan (|domains|-row dims only). Output:
+    (doc_id, lang, source) of the kept docs."""
+    docs = (
+        spark.read.parquet(_t(sf_dir, "documents"))
+        .select("doc_id", "lang", "source")
+        .withColumn("_kstr", F.col("doc_id").cast("string"))
+    )
+    out = _smp().domain_mix(
+        docs, "lang", {"en": 5, "de": 1, "fr": 1, "es": 1, "zh": 2}, key="_kstr"
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")

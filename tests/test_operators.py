@@ -1278,3 +1278,33 @@ def test_pack_sequences(spark):
                 cum // 10 != (cum + t - 1) // 10
             )
             cum += t
+
+
+def test_domain_mix(spark):
+    """domain_mix must derive per-domain keep-rates from the corpus's
+    own counts (scarcest weighted domain binds, never upsampled), drop
+    unweighted domains, and select by the deterministic 16-bit hash."""
+    import hashlib
+
+    from loganalyzer_spark.operators import sample as SMP
+
+    rows = (
+        [(i, "en") for i in range(8)]
+        + [(100, "zh")]
+        + [(200, "de"), (201, "de")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"]).withColumn(
+        "k", F.col("doc_id").cast("string")
+    )
+    out = SMP.domain_mix(docs, "lang", {"en": 2, "zh": 1}, key="k")
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+    # W=3; T = min(floor(8*3/2), floor(1*3/1)) = 3 (zh binds)
+    # k_en = floor(2*3*65536 / (3*8)) = 16384 (25%); k_zh = 65536 (all)
+    def h16(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+
+    want = {(d, l) for d, l in rows if l == "en" and h16(d) < 16384}
+    want |= {(100, "zh")}
+    assert got == want
+    assert all(l != "de" for _, l in got)  # unweighted domain dropped
