@@ -97,6 +97,20 @@ _DEMOTED = [
                                     # ceil(chars/4) subword projection is
                                     # unique); slot freed for the DSIR
                                     # importance-weight surface
+    "parse_mask",                   # P7 ftp-tier masking: the ordered-regex
+                                    # chain machinery (Arrow-UDF + JVM paths,
+                                    # byte-identity contract) is re-certified
+                                    # in-window by parse_mask_cm over the
+                                    # SUPERSET cm misc-regex library; the ftp
+                                    # tier keeps its byte-identity pytest and
+                                    # local-gate row. Slot freed for the
+                                    # sequence-packing surface
+    "dup_lines",                    # A10 duplicate-line grouping re-certified
+                                    # in-window by c4_clean_docs (same global
+                                    # groupBy-line machinery inside keep-first
+                                    # dedup, hashed down to the reassembled
+                                    # clean_text artifact); slot freed for the
+                                    # C4 cleaning surface
     "bucketed_fact_join",           # the claim under test is the layout (zero
                                     # shuffle exchange), ASSERTED inside the
                                     # callable on every local-gate run; the
