@@ -1308,3 +1308,100 @@ def test_domain_mix(spark):
     want |= {(100, "zh")}
     assert got == want
     assert all(l != "de" for _, l in got)  # unweighted domain dropped
+
+
+def test_c4_clean_property_invariants(spark):
+    """Property check over randomized line corpora: c4_clean's global
+    contracts — every surviving line appears EXACTLY once across the
+    whole output corpus, clean_text is consistent with n_unique,
+    dropped pages contribute nothing — hold regardless of input shape
+    (hypothesis drives the corpus; one Spark job per example)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from loganalyzer_spark.operators import web as W
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    line_st = st.one_of(
+        # valid sentence (3-5 words + '.'), tiny pool → collisions likely
+        st.lists(st.sampled_from(words), min_size=3, max_size=5).map(
+            lambda ws: " ".join(ws) + "."
+        ),
+        st.just("Home About Contact"),           # no terminal punct
+        st.just("Read more."),                   # < 3 words
+        st.just("enable javascript to see it."),  # line ban
+        st.just("lorem ipsum dolor sit amet."),   # page ban
+    )
+    corpus_st = st.lists(
+        st.lists(line_st, min_size=1, max_size=8), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(corpus_st)
+    def run(pages):
+        rows = [
+            (d, i, line)
+            for d, lines in enumerate(pages)
+            for i, line in enumerate(lines)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "line_no", "line"])
+        out = {r["doc_id"]: r for r in W.c4_clean(df, min_kept_lines=2).collect()}
+
+        assert set(out) == set(range(len(pages)))  # every page reported
+        seen: set[str] = set()
+        for d, lines in enumerate(pages):
+            r = out[d]
+            assert r["n_lines"] == len(lines)
+            if not r["keep_page"]:
+                assert r["n_unique"] == 0 and r["clean_text"] == ""
+                continue
+            got = r["clean_text"].split("\n") if r["clean_text"] else []
+            assert len(got) == r["n_unique"] <= r["n_kept"]
+            # survivors are kept lines of THIS page, in line order
+            kept_here = [
+                ln for ln in lines
+                if ln.endswith(".") and len(ln.split()) >= 3
+                and "javascript" not in ln and "lorem ipsum" not in ln
+            ]
+            assert all(g in kept_here for g in got)
+            for g in got:  # global keep-first: no line survives twice
+                assert g not in seen
+                seen.add(g)
+
+    run()
+
+
+def test_pack_sequences_property_invariants(spark):
+    """Property check: per shard the packed stream is contiguous
+    (t_start resumes exactly where the previous doc ended), offsets
+    agree with ctx arithmetic, and total stream length equals the
+    token sum — for random doc-size mixes including straddlers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from loganalyzer_spark.operators import pack as PK
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=37), min_size=1, max_size=30),
+        st.integers(min_value=4, max_value=16),
+    )
+    def run(sizes, ctx):
+        rows = list(enumerate(sizes))
+        df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+        out = PK.pack_sequences(df, ctx_len=ctx, shards=3).collect()
+        assert {r["doc_id"] for r in out} == {d for d, t in rows if t >= 1}
+        by_shard: dict[int, list] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rs in by_shard.values():
+            rs.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in rs:
+                assert r["t_start"] == cum          # contiguous stream
+                assert r["start_off"] == cum % ctx
+                assert r["pack_first"] == cum // ctx
+                assert r["pack_last"] == (cum + r["n_tok"] - 1) // ctx
+                cum += r["n_tok"]
+
+    run()
