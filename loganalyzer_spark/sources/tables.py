@@ -166,3 +166,70 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for a parquet directory sink.
+
+    A streaming or fan-out writer at 100 TB leaves thousands of small
+    files per partition; every downstream scan then pays per-file open
+    cost and the driver pays listing cost. This rewrites the directory
+    into ``ceil(bytes / target_file_bytes)`` files (the parquet-path
+    analogue of Iceberg's ``rewrite_data_files`` with
+    ``write.target-file-size-bytes`` — see the DDL note at the top of
+    this module), optionally ``sortWithinPartitions(sort_cols)`` so
+    row-group min/max statistics stay selective for data-skipping
+    after the rewrite.
+
+    Safe swap: writes to ``<path>.__compact__``, re-reads and counts to
+    verify row preservation, then atomically renames over the original
+    (single-FS rename; on object stores run the Iceberg procedure
+    instead). Returns {"files_before", "files_after", "rows"}.
+
+    The rewrite is ONE exchange (round-robin repartition to the target
+    file count); with ``sort_cols`` the sort is per-output-file, never
+    global.
+    """
+    import math
+    import os
+    import shutil
+
+    def _data_files(p: str) -> list[str]:
+        return [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + ".__compact__"
+    out.write.mode("overwrite").parquet(tmp)
+
+    rows_before = df.count()
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} -> {rows_after}"
+        )
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "rows": rows_after,
+    }

@@ -1405,3 +1405,32 @@ def test_pack_sequences_property_invariants(spark):
                 cum += r["n_tok"]
 
     run()
+
+
+def test_compact_parquet(spark, tmp_path):
+    """compact_parquet must collapse a small-file directory to the
+    byte-target file count, preserve every row, and keep the sort
+    clustering inside each output file."""
+    from loganalyzer_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "sink")
+    df = spark.range(0, 20000).selectExpr(
+        "id AS doc_id", "cast(id % 97 AS long) AS k", "repeat('x', 40) AS pad"
+    )
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+
+    stats = compact_parquet(
+        spark, path, target_file_bytes=1 << 30, sort_cols=["k"]
+    )
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 20000
+
+    back = spark.read.parquet(path)
+    assert back.count() == 20000
+    assert back.agg(F.sum("doc_id")).collect()[0][0] == sum(range(20000))
+    # clustering: within the single output file, k is non-decreasing
+    import pandas as pd  # noqa: F401
+
+    ks = [r["k"] for r in back.select("k").collect()]
+    assert ks == sorted(ks)
