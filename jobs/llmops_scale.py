@@ -1,0 +1,73 @@
+"""spark-submit entry point: one LLM-tier operator over a staged
+parquet input, warmed then timed on a fresh plan instance.
+
+    spark-submit --master local[N] --py-files dist/loganalyzer_spark.zip \
+        jobs/llmops_scale.py <op> <input_parquet_dir>
+
+ops: c4 (lines → c4_clean), dsir (docs → dsir_weights),
+     pack (docs → pack_sequences), minhash (docs → LSH candidate pairs).
+Prints RESULT {rows_in, rows_out, wall_s, rows_in_per_sec, parallelism}.
+Same measurement protocol as jobs/run_pipeline.py (warm pass first,
+fresh plan for the timed pass, parallelism recorded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    op = sys.argv[1]
+    path = sys.argv[2]
+
+    spark = SparkSession.builder.appName(f"llmops_{op}").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from loganalyzer_spark.operators import dedup as DD
+    from loganalyzer_spark.operators import pack as PK
+    from loganalyzer_spark.operators import web as W
+
+    src = spark.read.parquet(path)
+
+    def build():
+        if op == "c4":
+            return W.c4_clean(src)
+        if op == "dsir":
+            return W.dsir_weights(src)
+        if op == "pack":
+            return PK.pack_sequences(src, ctx_len=2048, shards=64)
+        if op == "minhash":
+            return DD.lsh_candidate_pairs(DD.minhash_signatures(src))
+        raise SystemExit(f"unknown op {op!r}")
+
+    build().count()  # warm: JIT + codegen outside the timed window
+    df = build()     # fresh plan instance for the timed pass
+    t0 = time.time()
+    rows_out = df.count()
+    wall = time.time() - t0
+    rows_in = src.count()
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "op": op,
+                "rows_in": rows_in,
+                "rows_out": rows_out,
+                "wall_s": round(wall, 3),
+                "rows_in_per_sec": round(rows_in / wall, 1),
+                "parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
