@@ -342,3 +342,53 @@ def test_streaming_near_dup_lsh_cross_batch(spark, tmp_path):
     # cross-batch: doc 3 flags against the bucket doc 1 claimed in batch
     # 1; fresh docs 2 and 4 never appear
     assert all_pairs == {(5, 1), (3, 1)}
+
+
+def test_streaming_template_evolution(spark, tmp_path):
+    """Online Drain under keyed streaming state: batch-1 lines merge
+    into a wildcard template, and a batch-2 line must fold into the
+    bucket's EXISTING evolved template (cross-batch state) instead of
+    seeding a new one; a dissimilar batch-2 line seeds a new cluster."""
+    import pandas as pd
+
+    from loganalyzer_spark.streaming.evolve import streaming_template_evolution
+
+    src = str(tmp_path / "evo_src")
+    os.makedirs(src)
+    schema = "masked STRING"
+    b1 = pd.DataFrame(
+        {"masked": ["Command: RETR fileA", "Command: RETR fileB",
+                    "Status: OK done now"]}
+    )
+    b2 = pd.DataFrame(
+        {"masked": ["Command: RETR fileC", "Status: ERR failed here"]}
+    )
+    spark.createDataFrame(b1, schema).repartition(1).write.parquet(src + "/b1")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    out = streaming_template_evolution(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("evo")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).repartition(1).write.parquet(src + "/b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM evo").collect()
+    finally:
+        q.stop()
+
+    by_bucket: dict[int, set] = {}
+    for r in rows:
+        by_bucket.setdefault(r["token_count"], set()).add(r["event_template"])
+    # 2/3 similarity >= 0.6 threshold: RETR lines merged in batch 1,
+    # and fileC folded into the SAME evolved template in batch 2 —
+    # across every emission the bucket only ever held the wildcard form
+    assert by_bucket[3] == {"Command: RETR <*>"}
+    # 1/4 similarity < 0.6: the ERR line seeds a second 4-token cluster
+    assert by_bucket[4] == {"Status: OK done now", "Status: ERR failed here"}
