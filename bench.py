@@ -35,9 +35,31 @@ HEADLINE = [
 
 
 def _run_count(df) -> int:
-    # count() is the cheapest full-materialization action: the whole
-    # plan executes, nothing is pulled to the driver.
+    # count() executes the plan but lets Catalyst PRUNE columns the
+    # count doesn't need — fine for the headline set (their expensive
+    # columns feed joins/aggregates the count still requires, and the
+    # round-over-round driver number must stay comparable), wrong for
+    # timing scan-shaped operators: see _run_materialize.
     return df.count()
+
+
+def _run_materialize(df) -> int:
+    """Full-materialization action for operator timing. Under count()
+    Catalyst prunes every column the action doesn't need — for
+    sequence_packing the counted plan collapsed to Filter+Range (the
+    window, shard hash, and the only exchange all eliminated), and for
+    c4_clean it collapsed to a bare groupBy count (ADVICE r4). Hashing
+    every output column forces the full computation; returns the row
+    count."""
+    from pyspark.sql import functions as F
+
+    # bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode.
+    row = (
+        df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)").alias("h"))
+        .collect()[0]
+    )
+    return int(row["n"])
 
 
 def _host_mem_probe_mb_s() -> float:
@@ -61,7 +83,9 @@ def _host_mem_probe_mb_s() -> float:
     return round(200.0 / dt, 1)
 
 
-def _gated_runs(fn, reps: int = 3) -> tuple[float, int, list[float], list[float], bool]:
+def _gated_runs(
+    fn, reps: int = 3, action=_run_count
+) -> tuple[float, int, list[float], list[float], bool]:
     """Probe-gated fresh-plan timing (the BENCH_r03 fix: endpoint probes
     don't certify the middle of a run, so every timed run gets its own
     probe). Policy mirrors tools/executor_bench.py: the paging hazard is
@@ -78,7 +102,7 @@ def _gated_runs(fn, reps: int = 3) -> tuple[float, int, list[float], list[float]
         for _ in range(reps):
             df = fn()
             t0 = time.time()
-            n = _run_count(df)
+            n = action(df)
             walls.append(time.time() - t0)
             probes.append(_host_mem_probe_mb_s())
         if max(probes) >= 500.0:

@@ -47,10 +47,25 @@ def main() -> None:
             return DD.lsh_candidate_pairs(DD.minhash_signatures(src))
         raise SystemExit(f"unknown op {op!r}")
 
-    build().count()  # warm: JIT + codegen outside the timed window
-    df = build()     # fresh plan instance for the timed pass
+    from pyspark.sql import functions as F
+
+    def materialize(df):
+        # NOT count(): count() lets Catalyst prune the operator under
+        # test (ADVICE r4 — the counted pack plan was just Filter+Range,
+        # c4 a bare groupBy count). Hashing every output column forces
+        # the full computation.
+        # bit_xor, not sum: summing 64-bit hashes overflows in ANSI mode.
+        row = (
+            df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h"))
+            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)").alias("h"))
+            .collect()[0]
+        )
+        return int(row["n"])
+
+    materialize(build())  # warm: JIT + codegen outside the timed window
+    df = build()          # fresh plan instance for the timed pass
     t0 = time.time()
-    rows_out = df.count()
+    rows_out = materialize(df)
     wall = time.time() - t0
     rows_in = src.count()
     print(

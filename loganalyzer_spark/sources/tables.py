@@ -186,10 +186,20 @@ def compact_parquet(
     row-group min/max statistics stay selective for data-skipping
     after the rewrite.
 
-    Safe swap: writes to ``<path>.__compact__``, re-reads and counts to
-    verify row preservation, then atomically renames over the original
-    (single-FS rename; on object stores run the Iceberg procedure
-    instead). Returns {"files_before", "files_after", "rows"}.
+    Swap protocol: writes to ``<path>.__compact__``, re-reads and
+    counts to verify row preservation, re-lists the source and ABORTS
+    if any data file appeared or vanished since the snapshot (the sink
+    must be quiesced during compaction — a concurrent writer's files
+    would otherwise be silently discarded, and the row check alone
+    cannot see them because the scan pins its file listing at plan
+    time), then swaps via two renames. The swap is NOT atomic: there
+    is a crash window between the renames where ``path`` does not
+    exist (readers see ENOENT, not partial data; recovery = rename
+    ``<path>.__old__`` back). Stale ``.__old__``/``.__compact__``
+    leftovers from a crashed prior run are removed up front. On object
+    stores run the Iceberg ``rewrite_data_files`` procedure instead —
+    rename is neither atomic nor cheap there.
+    Returns {"files_before", "files_after", "rows"}.
 
     The rewrite is ONE exchange (round-robin repartition to the target
     file count); with ``sort_cols`` the sort is per-output-file, never
@@ -206,6 +216,13 @@ def compact_parquet(
             if f.endswith(".parquet") and not f.startswith(".")
         ]
 
+    tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    # Leftovers from a crashed prior run: .__old__ would make the
+    # rename below fail, .__compact__ is garbage either way.
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
     before = _data_files(path)
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))
@@ -214,7 +231,6 @@ def compact_parquet(
     out = df.repartition(n_out)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    tmp = path.rstrip("/") + ".__compact__"
     out.write.mode("overwrite").parquet(tmp)
 
     rows_before = df.count()
@@ -224,7 +240,15 @@ def compact_parquet(
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} -> {rows_after}"
         )
-    old = path.rstrip("/") + ".__old__"
+    # Quiesced-sink check: the scan pinned its file listing at plan
+    # time, so a file written since then passes the row check yet
+    # would be dropped by the swap. Abort instead.
+    if set(_data_files(path)) != set(before):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "source directory changed during compaction — the sink "
+            "must be quiesced; re-run once writers are stopped"
+        )
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

@@ -62,18 +62,23 @@ def _bucket_update(
         first = int(state.get[0])
     else:
         first = None
+    # Accumulate ALL chunks before picking the claimant: a key group
+    # can span multiple pandas chunks in the iterator, and sorting
+    # per-chunk would let an earlier chunk's larger doc_id claim the
+    # bucket over a later chunk's smaller one — the dup_of orientation
+    # would then vary with chunking (run-to-run at scale), breaking
+    # the batch tier's a < b contract (ADVICE r4).
+    all_ids: set[int] = set()
+    for pdf in pdfs:
+        all_ids.update(int(x) for x in pdf["doc_id"])
     docs: list[int] = []
     dups: list[int] = []
-    for pdf in pdfs:
-        # dedupe within the batch, deterministic order: the smallest
-        # unseen doc claims an unclaimed bucket (matches the batch
-        # tier's a < b pair orientation).
-        for d in sorted({int(x) for x in pdf["doc_id"]}):
-            if first is None:
-                first = d
-            elif d != first:
-                docs.append(d)
-                dups.append(first)
+    for d in sorted(all_ids):
+        if first is None:
+            first = d
+        elif d != first:
+            docs.append(d)
+            dups.append(first)
     state.update((first,))
     if ttl_ms is not None:
         # must follow update(): a timeout can only be set on live state

@@ -311,6 +311,41 @@ def test_seq_dist_reference_semantics():
     assert seq_dist(["<*>"], ["abc"]) == (0.0, 1)
 
 
+def test_seq_dist_wildcard_first_token_divergence():
+    """Documented, DELIBERATE divergence from the reference loop
+    (VERDICT r4 item 7): drain.py:395-399 rejects on ANY first-token
+    inequality — including template '<*>' vs a literal log token —
+    because in the reference a wildcard-first template is only ever
+    compared inside the tree's '<*>' child, where the log's first
+    token was itself masked to '<*>'. This repo's match layer compares
+    a wildcard-first template against raw-literal first tokens (the
+    tree's wildcard branch admits digit-bearing literals), so seq_dist
+    treats a leading '<*>' as a parameter slot instead of rejecting.
+    Both behaviors asserted side by side against a faithful port of
+    the reference's first-token branch."""
+    from loganalyzer_spark.operators.match import seq_dist
+
+    def reference_first_token_rejects(tmplt, log):
+        # drain.py:391-400, first-iteration branch only: reject iff
+        # token1 != token2, with NO wildcard exemption.
+        for token1, token2 in zip(tmplt, log):
+            return token1 != token2
+        return False
+
+    tmpl, log = ["<*>", "bytes", "sent"], ["1024", "bytes", "sent"]
+    # the reference loop would reject this pairing outright...
+    assert reference_first_token_rejects(tmpl, log)
+    # ...this repo scores it: leading '<*>' is a param slot, the two
+    # literal tokens match exactly → sim = 2/2, para = 1
+    assert seq_dist(tmpl, log) == (1.0, 1)
+    # where the log's first token IS the masked wildcard, both agree
+    assert not reference_first_token_rejects(tmpl, ["<*>", "bytes", "sent"])
+    assert seq_dist(tmpl, ["<*>", "bytes", "sent"]) == (1.0, 1)
+    # literal-vs-literal first-token mismatch still rejects in both
+    assert reference_first_token_rejects(["a", "b"], ["z", "b"])
+    assert seq_dist(["a", "b"], ["z", "b"]) == (0.0, 0)
+
+
 def test_similarity_matcher_agrees_with_fast_path(spark):
     from tests.conftest import SF_SMALL
 
@@ -1490,3 +1525,25 @@ def test_compact_parquet(spark, tmp_path):
 
     ks = [r["k"] for r in back.select("k").collect()]
     assert ks == sorted(ks)
+
+
+def test_compact_parquet_recovers_from_crash_leftovers(spark, tmp_path):
+    """A crashed prior run leaves ``.__old__`` / ``.__compact__``
+    directories; os.rename(path, old) would fail on the stale
+    ``.__old__`` — compact_parquet must clear both up front and
+    still swap correctly (ADVICE r4)."""
+    import os
+
+    from loganalyzer_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "sink")
+    spark.range(0, 1000).selectExpr("id AS doc_id").repartition(8).write.parquet(
+        path
+    )
+    os.makedirs(path + ".__old__/junk")
+    os.makedirs(path + ".__compact__")
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["rows"] == 1000
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+    assert spark.read.parquet(path).count() == 1000

@@ -344,6 +344,45 @@ def test_streaming_near_dup_lsh_cross_batch(spark, tmp_path):
     assert all_pairs == {(5, 1), (3, 1)}
 
 
+def test_streaming_near_dup_claimant_chunk_invariant():
+    """The bucket claimant must be the min doc_id across ALL pandas
+    chunks of the key group, not per-chunk (ADVICE r4): with the
+    smaller id arriving in a LATER chunk, dup_of orientation would
+    otherwise depend on Arrow chunking and vary run-to-run."""
+    import pandas as pd
+
+    from loganalyzer_spark.streaming.near_dup import _bucket_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.value = None
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self.value
+
+    # doc 7 in chunk 1, doc 2 in chunk 2 — claimant must still be 2
+    chunks = iter(
+        [pd.DataFrame({"doc_id": [7]}), pd.DataFrame({"doc_id": [2, 9]})]
+    )
+    state = FakeState()
+    out = list(_bucket_update((0, "h0"), chunks, state))
+    assert state.value == (2,)
+    pairs = {
+        (int(d), int(o))
+        for pdf in out
+        for d, o in zip(pdf["doc_id"], pdf["dup_of"])
+    }
+    assert pairs == {(7, 2), (9, 2)}
+
+
 def test_streaming_template_evolution(spark, tmp_path):
     """Online Drain under keyed streaming state: batch-1 lines merge
     into a wildcard template, and a batch-2 line must fold into the

@@ -43,7 +43,7 @@ QUERIES = [
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
-    from bench import _gated_runs, _host_mem_probe_mb_s
+    from bench import _gated_runs, _host_mem_probe_mb_s, _run_materialize
 
     from loganalyzer_spark import queries as qmod
     from loganalyzer_spark.session import get_spark
@@ -58,8 +58,12 @@ def main() -> None:
 
     rows = []
     for name in QUERIES:
+        # _run_materialize, not count(): count() lets Catalyst prune the
+        # operator under test (ADVICE r4 — the counted sequence_packing
+        # plan was just Filter+Range). Hashing every output column times
+        # the real plan.
         wall, n, walls, probes, healthy = _gated_runs(
-            lambda: registry[name](spark, sf_dir)
+            lambda: registry[name](spark, sf_dir), action=_run_materialize
         )
         rows.append(
             {
@@ -88,7 +92,10 @@ def main() -> None:
         "",
         "Probe-gated fresh-plan timings (bench.py policy: median of 3 on",
         "healthy per-run probes, best-of under the one-sided host paging",
-        "hazard; every rep's wall published). These operators are the",
+        "hazard; every rep's wall published). Timed action hashes every",
+        "output column (bench._run_materialize) so Catalyst cannot prune",
+        "the operator under test — plain count() timings lied for the",
+        "scan-shaped ops (ADVICE r4). These operators are the",
         "dedup / quality / web-prep / packing tier the headline bench",
         "doesn't cover; correctness for each is the exact-hash oracle",
         "gate (COVERAGE.md).",

@@ -133,7 +133,10 @@ def main() -> None:
         "Separate pre-touched 16g JVMs per run (the scaling_bench",
         "protocol: warm pass in-process, fresh plan timed, best-of-"
         f"{reps} per rung under the one-sided host-paging hazard,",
-        "per-rep probes published). Efficiency = (t32/t8)/4, read",
+        "per-rep probes published). Timed action hashes every output",
+        "column (jobs/llmops_scale.py::materialize) so Catalyst cannot",
+        "prune the operator under test. Efficiency = throughput32 /",
+        "throughput8 / 4 = (t8/t32)/4, read",
         "against this VM's bare-kernel 8→32 compound ceiling ~0.62-0.68",
         "(BENCH/BASELINE.md / HOST calibration).",
         "",
