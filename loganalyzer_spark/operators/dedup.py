@@ -55,15 +55,24 @@ def _hash60(col) -> F.Column:
 
 
 def with_shingles(docs: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
-    """Word n-gram shingles as an array column (distinct per doc)."""
+    """Word n-gram shingles as an array column (distinct per doc).
+
+    Tokenization is materialized as its own column first: a ``split``
+    inlined into the ``transform`` lambda re-tokenizes the WHOLE
+    document once per shingle position (O(tokens²) per row — the
+    inlined-producer-in-lambda trap; see textstats.fingerprint).
+    """
     # shingle i (1-based) = tokens[i..i+n-1] joined; guard the empty case —
     # Spark's sequence(1, 0) would generate a *descending* range.
+    toked = docs.withColumn("_toks", F.split(F.lower(F.col(text)), "\\s+"))
     expr = (
-        f"CASE WHEN size(split(lower({text}), '\\\\s+')) < {n} THEN array() "
-        f"ELSE transform(sequence(1, size(split(lower({text}), '\\\\s+')) - {n} + 1),"
-        f" i -> array_join(slice(split(lower({text}), '\\\\s+'), i, {n}), ' ')) END"
+        f"CASE WHEN size(_toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {n} + 1),"
+        f" i -> array_join(slice(_toks, i, {n}), ' ')) END"
     )
-    return docs.withColumn("shingles", F.array_distinct(F.expr(expr)))
+    return toked.withColumn("shingles", F.array_distinct(F.expr(expr))).drop(
+        "_toks"
+    )
 
 
 def exact_dedup(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
@@ -585,15 +594,21 @@ def passage_grams(
     checker (misc_tools.py:35-43) plays at line granularity, lifted to
     arbitrary cross-document passages.
     """
-    w = f"split(lower({text}), '\\\\s+')"
+    # Materialize the token array first: slice(split(...), i, k) with
+    # the split inlined inside the transform lambda re-tokenizes the
+    # whole document once per window position (O(tokens²) per row —
+    # the inlined-producer-in-lambda trap; see textstats.fingerprint).
+    toked = docs.select(
+        F.col(key), F.split(F.lower(F.col(text)), "\\s+").alias("_w")
+    )
     expr = (
-        f"CASE WHEN size({w}) < {k} THEN array() "
-        f"ELSE transform(sequence(1, size({w}) - {k} + 1, {stride}), "
+        f"CASE WHEN size(_w) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(_w) - {k} + 1, {stride}), "
         f"i -> struct(i AS pos, conv(substring(md5("
-        f"array_join(slice({w}, i, {k}), ' ')), 1, 15), 16, 10) AS ghs)) END"
+        f"array_join(slice(_w, i, {k}), ' ')), 1, 15), 16, 10) AS ghs)) END"
     )
     return (
-        docs.select(F.col(key), F.explode(F.expr(expr)).alias("g"))
+        toked.select(F.col(key), F.explode(F.expr(expr)).alias("g"))
         .select(
             key,
             F.col("g.pos").cast("long").alias("pos"),

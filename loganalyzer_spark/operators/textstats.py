@@ -101,21 +101,32 @@ def fingerprint(docs: DataFrame, text: str = "text", k: int = 4) -> DataFrame:
 
     fingerprint = min over i of H(substr(norm_text, i, k)); H = 60-bit
     md5 prefix. Deterministic, engine-independent.
+
+    The normalized text is materialized as its own column FIRST: an
+    expression inlined into a ``transform`` lambda re-evaluates PER
+    ELEMENT — with the regexp_replace inside the gram lambda the scan
+    re-ran the regex over the whole document once per gram position
+    (O(chars²) per row; measured 10.4 s → ~0.5 s at sf0.1). Multiple
+    non-cheap uses of ``_norm`` also stop CollapseProject from
+    re-inlining it.
     """
-    norm = F.regexp_replace(F.lower(F.col(text)), "[^a-z0-9]", "")
+    normed = docs.withColumn(
+        "_norm", F.regexp_replace(F.lower(F.col(text)), "[^a-z0-9]", "")
+    )
     grams = F.expr(
-        f"CASE WHEN length(regexp_replace(lower({text}), '[^a-z0-9]', '')) < {k} "
-        f"THEN array(regexp_replace(lower({text}), '[^a-z0-9]', '')) "
-        f"ELSE transform(sequence(1, length(regexp_replace(lower({text}), '[^a-z0-9]', '')) - {k} + 1), "
-        f"i -> substring(regexp_replace(lower({text}), '[^a-z0-9]', ''), i, {k})) END"
+        f"CASE WHEN length(_norm) < {k} THEN array(_norm) "
+        f"ELSE transform(sequence(1, length(_norm) - {k} + 1), "
+        f"i -> substring(_norm, i, {k})) END"
     )
     fp = F.array_min(
         F.transform(
             grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
         )
     )
-    return docs.withColumn("norm_len", F.length(norm)).withColumn(
-        "fingerprint", fp
+    return (
+        normed.withColumn("norm_len", F.length("_norm"))
+        .withColumn("fingerprint", fp)
+        .drop("_norm")
     )
 
 
@@ -135,9 +146,14 @@ def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
       repeats (1 - distinct/total), the Gopher duplicate-n-gram filter.
 
     Scale: embarrassingly parallel scan; cost is O(tokens log tokens)
-    per row for the sort, no exchange anywhere.
+    per row for the sort, no exchange anywhere. Tokens are materialized
+    as a column first — ``element_at(toks, i)`` with the split inlined
+    inside the bigram lambda re-tokenized the whole document TWICE per
+    bigram position (O(tokens²) per row; the dominant cost of the r4
+    quality_filter wall).
     """
-    toks = _tokens(text)
+    toked = docs.withColumn("_toks", _tokens(text))
+    toks = F.col("_toks")
     n = F.size(toks)
     distinct_ratio = F.when(
         n > 0, F.size(F.array_distinct(toks)).cast("double") / n
@@ -181,10 +197,11 @@ def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
 
     return (
-        docs.withColumn("n_toks", n)
+        toked.withColumn("n_toks", n)
         .withColumn("distinct_ratio", F.round(distinct_ratio, 6))
         .withColumn("top_tok_frac", F.round(top_tok_frac, 6))
         .withColumn("dup_bigram_frac", F.round(dup_bigram_frac, 6))
+        .drop("_toks")
     )
 
 

@@ -118,8 +118,13 @@ def word_ngrams(
     """Adds ``out``: the DISTINCT word n-grams of ``text`` as an array
     column. Pure transform/slice projection — no explode, no shuffle;
     the consumer decides whether to explode. Rows with fewer than ``n``
-    words get an empty array."""
-    w = F.split(F.col(text), " ")
+    words get an empty array.
+
+    Tokens are materialized as a column first — slice(split(...))
+    inlined in the transform lambda re-tokenizes the whole document per
+    window position (see textstats.fingerprint)."""
+    toked = df.withColumn("_w", F.split(F.col(text), " "))
+    w = F.col("_w")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - n),
@@ -127,7 +132,9 @@ def word_ngrams(
         )
     )
     empty = F.array().cast("array<string>")
-    return df.withColumn(out, F.when(F.size(w) >= n, grams).otherwise(empty))
+    return toked.withColumn(
+        out, F.when(F.size(w) >= n, grams).otherwise(empty)
+    ).drop("_w")
 
 
 def decontaminate(
@@ -353,7 +360,16 @@ def dsir_weights(
     """
     from loganalyzer_spark.operators.dedup import _hash60
 
-    w = F.split(F.col(text), " ")
+    # Tokenize into a materialized column FIRST: a split() inlined into
+    # the transform lambda re-tokenizes the whole document once per
+    # bigram position (the inlined-producer-in-lambda trap; see
+    # textstats.fingerprint).
+    toked = docs.select(
+        "doc_id",
+        F.col(is_target).alias("_tgt"),
+        F.split(F.col(text), " ").alias("_w"),
+    )
+    w = F.col("_w")
     bi = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -361,9 +377,9 @@ def dsir_weights(
             lambda i: F.array_join(F.slice(w, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
+    grams = toked.select(
         "doc_id",
-        F.col(is_target).alias("_tgt"),
+        "_tgt",
         F.explode(F.concat(w, bi)).alias("gram"),
     ).select(
         "doc_id",

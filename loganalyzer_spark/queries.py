@@ -64,6 +64,12 @@ _DEMOTED = [
                                     # tests/test_deeplog.py parity vs the
                                     # equations + local-gate rows check
     "logreg_train_score",           # no_oracle (driver-side training)
+    "loglizer_incremental_train_score",  # no_oracle (driver-side
+                                    # partial_fit training, VERDICT r4
+                                    # item 6); convergence parity is
+                                    # pytest-pinned
+    "loglab_kfold_validate",        # no_oracle (driver-side k-fold CV,
+                                    # loglab.py:662-671 parity)
     "dup_components",               # iterative Spark impl; now carries an
                                     # exact recursive-CTE oracle (hash-checked
                                     # by the local gate); window slots go to
@@ -1532,6 +1538,45 @@ def logreg_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = routed.groupBy("doc_id").agg(F.max("is_abn").alias("label"))
     vec = _doc_vectors(spark, sf_dir).join(labels, "doc_id")
     out = SC.train_and_score(spark, vec)
+    return out.select("doc_id", "label", F.round("score", 6).alias("score"), "pred")
+
+
+@register("loglab_kfold_validate", None)  # driver-side CV → rows-only
+def loglab_kfold_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loglab k-fold cross-validation parity (loglab.py:662-671:
+    KFold + cross_val_score over the monolith ECM before the final
+    deployment fit): 5 deterministic folds (doc_id % 5) over the
+    per-doc ECM with the abn label, per-fold LR accuracy + a fold=-1
+    mean row. Rows-only (driver-side training, like
+    logreg_train_score); ONNX export is gated out — the image has no
+    sklearn-onnx (see scoring.kfold_validate docstring)."""
+    routed = _routed(spark, sf_dir)
+    labels = routed.groupBy("doc_id").agg(F.max("is_abn").alias("label"))
+    vec = _doc_vectors(spark, sf_dir).join(labels, "doc_id")
+    return SC.kfold_validate(spark, vec).orderBy("fold")
+
+
+@register("loglizer_incremental_train_score", None)  # driver training → rows-only
+def loglizer_incremental_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loglizer incremental (inc_updt) training parity
+    (loglizer.py:429-471): the corpus's per-doc ECM is split into four
+    deterministic monitoring windows (doc_id % 4 — each the
+    "x_train of a later session"), an SGD log-loss model partial_fits
+    over the windows in order (scoring.IncrementalLogReg — the
+    SGDClassifier(loss='log') core; sklearn absent from the image),
+    and the final weights score the whole corpus through the broadcast
+    Arrow kernel. Rows-only like logreg_train_score (driver-side
+    training has no SQL oracle); batch-order-vs-single-shot
+    convergence parity is pinned by
+    tests/test_operators.py::test_incremental_partial_fit_convergence."""
+    routed = _routed(spark, sf_dir)
+    labels = routed.groupBy("doc_id").agg(F.max("is_abn").alias("label"))
+    vec = (
+        _doc_vectors(spark, sf_dir)
+        .join(labels, "doc_id")
+        .withColumn("batch", F.col("doc_id") % 4)
+    )
+    out = SC.incremental_train_and_score(spark, vec)
     return out.select("doc_id", "label", F.round("score", 6).alias("score"), "pred")
 
 

@@ -98,6 +98,154 @@ def train_and_score(
     return out.withColumn("pred", (F.col("score") > 0.5).cast("int"))
 
 
+class IncrementalLogReg:
+    """Incremental (``partial_fit``) logistic-regression trainer
+    mirroring the reference's ``inc_updt`` path (loglizer.py:429-471:
+    the first session creates ``SGDClassifier(loss='log')``, every
+    later session ``joblib.load``s the persisted object and calls
+    ``.partial_fit(x_train, y_train, classes=[0, 1])`` on the new
+    window's ECM batch).
+
+    sklearn is absent from this image, so the estimator core is
+    implemented directly: one epoch of per-sample log-loss SGD per
+    ``partial_fit`` call, in batch row order, constant learning rate,
+    zero init — the deterministic subset of
+    ``SGDClassifier(loss='log', learning_rate='constant',
+    shuffle=False)``. State round-trips through plain tuples (the
+    ``joblib.dump`` analogue), so a lineage checkpoint can persist the
+    model between sessions exactly as the reference persists its
+    ``loglizer_inc_*.object`` file.
+
+    Scale: training data is the per-window ECM — samples × vocab_size
+    floats, bounded and tiny next to the corpus — collected to the
+    driver exactly as the reference does; SCORING stays distributed
+    through ``make_logreg_scorer`` (broadcast weights, Arrow batches).
+    """
+
+    def __init__(self, n_features: int, lr: float = 0.05):
+        self.w = np.zeros(int(n_features), dtype=np.float64)
+        self.b = 0.0
+        self.lr = float(lr)
+        self.n_seen = 0
+
+    def partial_fit(self, X, y) -> "IncrementalLogReg":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        for xi, yi in zip(X, y):
+            p = 1.0 / (1.0 + np.exp(-(float(xi @ self.w) + self.b)))
+            g = self.lr * (p - yi)
+            self.w -= g * xi
+            self.b -= g
+        self.n_seen += len(y)
+        return self
+
+    def to_state(self) -> tuple:
+        return (self.w.tolist(), self.b, self.lr, self.n_seen)
+
+    @classmethod
+    def from_state(cls, state: tuple) -> "IncrementalLogReg":
+        w, b, lr, n_seen = state
+        m = cls(len(w), lr)
+        m.w = np.asarray(w, dtype=np.float64)
+        m.b = float(b)
+        m.n_seen = int(n_seen)
+        return m
+
+
+def incremental_train_and_score(
+    spark: SparkSession,
+    vectors: DataFrame,
+    batch_col: str = "batch",
+    label_col: str = "label",
+    vec_col: str = "vec",
+    epochs: int = 20,
+    lr: float = 0.05,
+    model: IncrementalLogReg | None = None,
+) -> DataFrame:
+    """Loglizer incremental training over windowed ECM batches
+    (loglizer.py:429-471), scored back distributed.
+
+    Batches are collected per distinct ``batch_col`` value in ascending
+    order (each one the "new monitoring window" of an inc_updt
+    session), ``partial_fit`` runs once per batch per epoch —
+    deterministic, so the oracle-free rows-only gate still sees stable
+    values. Pass ``model`` to resume from persisted state.
+    """
+    batches = sorted(
+        r[0] for r in vectors.select(batch_col).distinct().collect()
+    )
+    first = vectors.select(F.size(vec_col)).first()
+    n_features = int(first[0]) if first else 0
+    m = model or IncrementalLogReg(n_features, lr)
+    collected = []
+    for bval in batches:
+        pdf = (
+            vectors.filter(F.col(batch_col) == bval)
+            .select("doc_id", vec_col, label_col)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        collected.append(
+            (np.vstack(pdf[vec_col].to_numpy()), pdf[label_col].to_numpy())
+        )
+    for _ in range(epochs):
+        for X, y in collected:
+            m.partial_fit(X, y)
+    scorer = make_logreg_scorer(spark, m.w, m.b)
+    out = scorer(vectors, vec_col, "score")
+    return out.withColumn("pred", (F.col("score") > 0.5).cast("int"))
+
+
+def kfold_validate(
+    spark: SparkSession,
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "vec",
+    k: int = 5,
+    iters: int = 200,
+    lr: float = 0.1,
+) -> DataFrame:
+    """K-fold cross-validation parity (loglab.py:662-671: KFold +
+    ``cross_val_score(model, ..., scoring='accuracy')`` over the
+    monolith ECM, then a full fit for deployment).
+
+    The CV population is the bounded collected ECM — exactly what the
+    reference cross-validates in one process — so training runs
+    driver-side on numpy (train_logreg per fold); nothing distributed
+    is needed for the validation itself. Folds are DETERMINISTIC
+    (doc_id % k) instead of the reference's utils.shuffle: the rows-
+    only driver gate hashes values, so a shuffled split would flap.
+    The reference's follow-up ONNX export (loglab.py:682-686) stays
+    gated out — sklearn-onnx/onnxruntime are absent from this image;
+    the deployment artifact here is the broadcast (w, b) pair itself.
+
+    Returns one row per fold: (fold, n_train, n_test, accuracy) plus
+    a summary row fold = -1 with the mean accuracy (the reference's
+    ``scores.mean()`` print).
+    """
+    pdf = (
+        vectors.select("doc_id", vec_col, label_col).orderBy("doc_id").toPandas()
+    )
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    y = pdf[label_col].to_numpy().astype(np.float64)
+    folds = pdf["doc_id"].to_numpy() % k
+    rows = []
+    accs = []
+    for f in range(k):
+        test = folds == f
+        if not test.any() or test.all():
+            continue
+        w, b = train_logreg(X[~test], y[~test], iters=iters, lr=lr)
+        pred = (X[test] @ w + b) > 0
+        acc = float((pred == (y[test] > 0.5)).mean())
+        accs.append(acc)
+        rows.append((f, int((~test).sum()), int(test.sum()), round(acc, 6)))
+    rows.append((-1, len(y), len(y), round(float(np.mean(accs)), 6)))
+    return spark.createDataFrame(
+        rows, "fold int, n_train int, n_test int, accuracy double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fixed-weight kernels (deterministic, DuckDB-oracle-checkable)
 # ---------------------------------------------------------------------------

@@ -986,6 +986,78 @@ def test_dsir_importance_weights(spark):
         assert r["keep"] == (rk > (3 * n) // 4)
 
 
+def test_incremental_partial_fit_convergence():
+    """IncrementalLogReg (the loglizer inc_updt path, loglizer.py:
+    429-471) must converge to the same decision function as the
+    single-shot batch fit: partial_fit over windowed batches — in
+    EITHER batch order — reaches prediction parity with train_logreg
+    on the full data, and state round-trips exactly (the joblib
+    persist analogue)."""
+    import numpy as np
+
+    from loganalyzer_spark.scoring import IncrementalLogReg, train_logreg
+
+    rng = np.random.RandomState(7)
+    n, d = 240, 6
+    X = rng.normal(size=(n, d))
+    w_true = np.array([1.5, -2.0, 0.7, 0.0, 1.1, -0.4])
+    y = ((X @ w_true + 0.3) > 0).astype(np.float64)
+
+    w_ref, b_ref = train_logreg(X, y, iters=400, lr=0.5)
+    pred_ref = (X @ w_ref + b_ref) > 0
+
+    batches = [(X[i::4], y[i::4]) for i in range(4)]
+    for order in (batches, batches[::-1]):
+        m = IncrementalLogReg(d, lr=0.05)
+        for _ in range(30):
+            for Xb, yb in order:
+                m.partial_fit(Xb, yb)
+        pred_inc = (X @ m.w + m.b) > 0
+        assert (pred_inc == pred_ref).mean() >= 0.98
+        # the incremental model itself separates the training data
+        assert (pred_inc == y.astype(bool)).mean() >= 0.95
+
+    # persistence: resume from state continues bit-identically
+    m1 = IncrementalLogReg(d, lr=0.05)
+    m1.partial_fit(*batches[0])
+    m2 = IncrementalLogReg.from_state(m1.to_state())
+    m1.partial_fit(*batches[1])
+    m2.partial_fit(*batches[1])
+    assert np.array_equal(m1.w, m2.w) and m1.b == m2.b
+    assert m1.n_seen == m2.n_seen
+
+
+def test_kfold_validate(spark):
+    """kfold_validate (loglab.py:662-671 parity): deterministic folds,
+    per-fold accuracy near 1.0 on separable data, fold=-1 mean row."""
+    import numpy as np
+
+    from loganalyzer_spark.scoring import kfold_validate
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(100):
+        label = i % 2
+        base = 2.0 if label else -2.0
+        rows.append(
+            (i, [float(base + rng.normal(scale=0.3)) for _ in range(4)], label)
+        )
+    vec = spark.createDataFrame(
+        rows, "doc_id long, vec array<double>, label int"
+    )
+    out = {r["fold"]: r for r in kfold_validate(spark, vec, k=5).collect()}
+    assert set(out) == {-1, 0, 1, 2, 3, 4}
+    for f in range(5):
+        assert out[f]["n_test"] == 20 and out[f]["n_train"] == 80
+        assert out[f]["accuracy"] >= 0.9
+    assert out[-1]["accuracy"] == round(
+        sum(out[f]["accuracy"] for f in range(5)) / 5, 6
+    )
+    # determinism: second run bit-identical
+    again = {r["fold"]: r for r in kfold_validate(spark, vec, k=5).collect()}
+    assert again == out
+
+
 def test_c4_clean(spark):
     """c4_clean must apply the C4 heuristics in the documented order:
     line filters, page bans on ORIGINAL lines, >=min_kept page rule,

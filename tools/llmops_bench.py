@@ -56,8 +56,24 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
-    rows = []
-    for name in QUERIES:
+    # Pre-warm spin: the host's first-touch rate is routinely degraded
+    # for the first minute of a session (virtio free-page reporting —
+    # CLAUDE.md), which poisoned the FIRST few rows of every published
+    # table. Wait for two consecutive healthy probes before timing;
+    # the per-run probes still gate each rep after this.
+    import time as _time
+
+    streak = 0
+    for _ in range(60):
+        if _host_mem_probe_mb_s() >= 1000.0:
+            streak += 1
+            if streak >= 2:
+                break
+        else:
+            streak = 0
+            _time.sleep(2)
+
+    def measure(name):
         # _run_materialize, not count(): count() lets Catalyst prune the
         # operator under test (ADVICE r4 — the counted sequence_packing
         # plan was just Filter+Range). Hashing every output column times
@@ -65,18 +81,37 @@ def main() -> None:
         wall, n, walls, probes, healthy = _gated_runs(
             lambda: registry[name](spark, sf_dir), action=_run_materialize
         )
-        rows.append(
-            {
-                "query": name,
-                "wall_s": round(wall, 3),
-                "rows": n,
-                "policy": "median3" if healthy else "best_of_one_sided_noise",
-                "probe_min_mb_s": min(probes),
-                "all_walls_s": [round(w, 3) for w in walls],
-            }
-        )
-        print(f"{name}: {wall:.3f}s rows={n} "
-              f"({'healthy' if healthy else 'noisy'})", flush=True)
+        return {
+            "query": name,
+            "wall_s": round(wall, 3),
+            "rows": n,
+            "policy": "median3" if healthy else "best_of_one_sided_noise",
+            "probe_min_mb_s": min(probes),
+            "all_walls_s": [round(w, 3) for w in walls],
+        }
+
+    rows = []
+    for name in QUERIES:
+        r = measure(name)
+        rows.append(r)
+        print(f"{name}: {r['wall_s']:.3f}s rows={r['rows']} ({r['policy']})",
+              flush=True)
+
+    # Retry pass: the paging hazard strikes mid-run (CLAUDE.md), so a
+    # degraded row may just have been unlucky — re-measure ONLY the
+    # noisy rows (twice at most) and keep whichever result has the
+    # healthier probe floor (one-sided hazard: healthier probe = the
+    # measurement closer to the plan's own speed).
+    for _ in range(2):
+        noisy = [i for i, r in enumerate(rows) if r["probe_min_mb_s"] < 500.0]
+        if not noisy:
+            break
+        for i in noisy:
+            r2 = measure(rows[i]["query"])
+            if r2["probe_min_mb_s"] > rows[i]["probe_min_mb_s"]:
+                rows[i] = r2
+            print(f"retry {r2['query']}: {r2['wall_s']:.3f}s "
+                  f"probe_min={r2['probe_min_mb_s']}", flush=True)
 
     out = {
         "sf_dir": sf_dir,
