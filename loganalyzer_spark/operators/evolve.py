@@ -114,6 +114,87 @@ def evolve_library(
     return spark.createDataFrame(rows, TEMPLATE_SCHEMA)
 
 
+def lcs(seq1: list[str], seq2: list[str]) -> list[str]:
+    """Longest common subsequence, DP + backtrack — the exact recipe of
+    drain.py:662-688 (row/col-0 zeros, prefer seq1-step on ties, read
+    the subsequence back from the matrix)."""
+    m, n = len(seq1), len(seq2)
+    lengths = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m):
+        for j in range(n):
+            if seq1[i] == seq2[j]:
+                lengths[i + 1][j + 1] = lengths[i][j] + 1
+            else:
+                lengths[i + 1][j + 1] = max(lengths[i + 1][j], lengths[i][j + 1])
+    out: list[str] = []
+    i, j = m, n
+    while i != 0 and j != 0:
+        if lengths[i][j] == lengths[i - 1][j]:
+            i -= 1
+        elif lengths[i][j] == lengths[i][j - 1]:
+            j -= 1
+        else:
+            out.insert(0, seq1[i - 1])
+            i -= 1
+            j -= 1
+    return out
+
+
+def lcs_merge_cells(
+    templates: list[str], sim_t_m: float = 0.7
+) -> dict[str, str]:
+    """D5: LCS output-cell merge (drain.py:689-719 adjust_output_cell),
+    offline over the bounded template library.
+
+    The reference runs this after each cluster update when
+    ``sim_t_m < 1`` (drain.py:633-634; it SHIPS disabled at the default
+    sim_t_m=1, drain.py:80): the updated cluster's output cell is
+    absorbed by the most LCS-similar cluster of a DIFFERENT token count
+    (same-length clusters live in the same tree bucket and are handled
+    by seq_dist matching instead), similarity = |LCS| / min(len) — paper
+    formula (6) — strict-greater tie-broken by longer LCS, merge iff
+    sim > sim_t_m.
+
+    Offline analogue: one deterministic pass over the final library in
+    list order, each cluster playing the "just updated" role once;
+    absorbed cells follow their survivor transitively (the reference
+    repoints every parent cluster at the surviving cell object,
+    drain.py:713-716). Returns event_id → cell_id where cell_id is the
+    smallest member event_id — the reference keeps bare object identity
+    for cells, so any stable representative induces the same partition
+    (pytest asserts partition equality against a faithful scalar mirror
+    of the reference loop).
+
+    Scale shape: O(n² · LCS) over the template dim only — bounded
+    (≤ a few thousand rows, same bound as cluster_templates), never
+    touches the corpus; the corpus-side remap is a broadcast join.
+    """
+    toks = [t.split(" ") for t in templates]
+    n = len(toks)
+    cell = list(range(n))  # cluster index -> current cell id (index-based)
+    members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    for ci in range(n):
+        best_j, best_lcs, best_sim = -1, [], -1.0
+        for cj in range(n):
+            # skip same token count or already-shared cell (drain.py:697-698)
+            if len(toks[cj]) == len(toks[ci]) or cell[cj] == cell[ci]:
+                continue
+            cur = lcs(toks[ci], toks[cj])
+            sim = float(len(cur)) / min(len(toks[ci]), len(toks[cj]))
+            if sim > best_sim or (sim == best_sim and len(cur) > len(best_lcs)):
+                best_j, best_lcs, best_sim = cj, cur, sim
+        if best_j >= 0 and best_sim > sim_t_m:
+            src, dst = cell[ci], cell[best_j]
+            for k in members[src]:
+                cell[k] = dst
+            members[dst].extend(members.pop(src))
+    from loganalyzer_spark.datagen import event_id_of
+
+    eids = [event_id_of(t) for t in templates]
+    rep = {c: min(eids[k] for k in ms) for c, ms in members.items()}
+    return {eids[i]: rep[cell[i]] for i in range(n)}
+
+
 def learn_timestamp(
     sample: list[tuple[str, str]], eid_lib: set[str]
 ) -> tuple[int, int]:

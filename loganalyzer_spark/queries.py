@@ -63,6 +63,12 @@ _DEMOTED = [
     "deeplog_predict",              # no_oracle (LSTM kernel); certified by
                                     # tests/test_deeplog.py parity vs the
                                     # equations + local-gate rows check
+    "lcs_merged_occurrences",       # D5 LCS cell merge — exact-hash oracle
+                                    # in the local gate; demoted to keep the
+                                    # 50-row driver window stable vs r4 (the
+                                    # in-window A1 shape is template_
+                                    # occurrences; the merge kernel itself is
+                                    # reference-parity pytest-certified)
     "deeplog_train_score",          # no_oracle (driver-side LSTM training,
                                     # VERDICT r4 missing #1: torch-parity
                                     # trainer; BPTT gradients pinned by
@@ -320,6 +326,56 @@ def new_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_new") == 1)
         .select("event_id", "event_template")
         .distinct()
+    )
+
+
+def _duckdb_cellmap_values(sim_t_m: float = 0.7) -> str:
+    """Inline (event_id, cell_id) VALUES dim from the D5 LCS-merge
+    kernel over the static template library — same shared-dim
+    convention as datagen.duckdb_templates_values (the kernel itself is
+    reference-parity pytest-certified; the oracle certifies the
+    corpus-side remap + aggregate)."""
+    from loganalyzer_spark.operators.evolve import lcs_merge_cells
+
+    mapping = lcs_merge_cells([r[1] for r in datagen.template_rows()], sim_t_m)
+    rows = ",\n      ".join(
+        f"('{k}', '{v}')" for k, v in sorted(mapping.items())
+    )
+    return f"(VALUES\n      {rows}\n    ) AS cm(event_id, cell_id)"
+
+
+@register(
+    "lcs_merged_occurrences",
+    _pipe_cte()
+    + f"""
+    SELECT coalesce(cm.cell_id, m.event_id) AS cell_id,
+           count(*) AS occurrences
+    FROM _matched m
+    LEFT JOIN {_duckdb_cellmap_values()} ON m.event_id = cm.event_id
+    GROUP BY 1""",
+)
+def lcs_merged_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: LCS output-cell merge (drain.py:689-719 adjust_output_cell —
+    the reference SHIPS it disabled, sim_t_m=1 at drain.py:80; enabled
+    here at 0.7 so the mechanism is exercised: 'Response: <*> File not
+    found' and 'Response: <*> File status' share a cell at sim 3/4).
+    The merge runs on the bounded template dim only (driver-side
+    kernel, like cluster_templates); the corpus is remapped through a
+    broadcast (event_id → cell_id) dim — unmerged/new templates keep
+    their own cell — and A1 occurrence counts aggregate per merged
+    cell (drain.py:731 counts per output cell, not per cluster)."""
+    from loganalyzer_spark.operators import evolve as EV
+
+    mapping = EV.lcs_merge_cells([r[1] for r in datagen.template_rows()], 0.7)
+    dim = spark.createDataFrame(
+        sorted(mapping.items()), "event_id string, cell_id string"
+    )
+    return (
+        _routed(spark, sf_dir)
+        .join(F.broadcast(dim), "event_id", "left")
+        .withColumn("cell_id", F.coalesce("cell_id", "event_id"))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("occurrences"))
     )
 
 
