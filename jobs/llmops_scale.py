@@ -77,6 +77,10 @@ def main() -> None:
                 "rows_out": rows_out,
                 "wall_s": round(wall, 3),
                 "rows_in_per_sec": round(rows_in / wall, 1),
+                # master carries the true task-slot count (local[N]);
+                # defaultParallelism just echoes spark.default.parallelism
+                # when the launcher sets it, so it is NOT the rung
+                "master": spark.sparkContext.master,
                 "parallelism": spark.sparkContext.defaultParallelism,
             }
         )

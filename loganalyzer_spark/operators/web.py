@@ -467,13 +467,29 @@ def c4_clean(
     n_unique / clean_text cover the dedup survivors (0 / '' for dropped
     pages) and clean_text is the newline-join in line order.
 
-    Scale (100 TB): two doc-keyed partial aggregates (page flags, final
-    rollup), one |lines|-row equi-join against the page verdict, and the
-    dedup dim — min(struct) partial-aggregates map-side so its exchange
-    carries one row per DISTINCT line hash (boilerplate collapses
-    map-side; the Zipf head is absorbed before the shuffle). The
-    join-back is an equi-join on the 60-bit line hash, never on the
-    line string. No windows over the corpus, no driver state.
+    Scale (100 TB): no corpus-sized joins; four exchanges, only two of
+    which carry text. (1) one per-doc aggregate computes the page flags
+    AND gathers the kept lines as an array in the same pass
+    (collect_list skips nulls, so only kept-line text ever enters the
+    shuffle — banned/short lines contribute only to the count/sum/max
+    partials); this replaces the former lines⋈flags sort-merge join,
+    which re-shuffled every kept line by doc a second time. (Column
+    pruning splits this aggregate into a text-free flags copy for the
+    output's left side and the text-carrying copy under the explode —
+    deliberate: reusing one exchange for both would drag the kept-line
+    arrays through the final join's sort.) (2) the dedup dim carries the winning
+    LINE TEXT inside its min(struct) — (doc, line_no) is unique per
+    line, so appending the text never changes which struct wins — which
+    makes the former 18M-row join-back on the 60-bit hash unnecessary:
+    the survivors ARE the aggregate's output. min(struct)
+    partial-aggregates map-side, so this exchange carries one row per
+    DISTINCT line hash (the Zipf boilerplate head collapses before the
+    shuffle). (3) survivors re-group by doc for the clean_text rollup.
+    The final flags⋈rollup join is doc-keyed on two already
+    doc-partitioned aggregates. No windows over the corpus, no driver
+    state. (Measured at 18M lines / 2M pages, local[8]→local[32]: the
+    old join-heavy plan scaled at 0.32 efficiency; this shape removes
+    the two corpus-sized sort-merge joins that caused it.)
     """
     from loganalyzer_spark.operators.dedup import _hash60
 
@@ -490,12 +506,15 @@ def c4_clean(
     for b in page_ban:
         ban = ban | (F.instr(F.lower(l), b.lower()) > 0)
 
-    flags = (
+    per_doc = (
         lines.groupBy(doc)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(keep_line.cast("long")).alias("n_kept"),
             F.max(ban).alias("_ban"),
+            F.collect_list(
+                F.when(keep_line, F.struct(line_no, line))
+            ).alias("_kept"),
         )
         .withColumn(
             "keep_page",
@@ -504,16 +523,19 @@ def c4_clean(
     )
 
     kept = (
-        lines.filter(keep_line)
-        .join(flags.filter(F.col("keep_page")).select(doc), doc)
+        per_doc.filter(F.col("keep_page"))
+        .select(doc, F.explode("_kept").alias("_kl"))
+        .select(
+            doc,
+            F.col(f"_kl.{line_no}").alias(line_no),
+            F.col(f"_kl.{line}").alias(line),
+        )
         .withColumn("_lh", _hash60(l))
     )
-    first = kept.groupBy("_lh").agg(
-        F.min(F.struct(doc, line_no)).alias("_first")
-    )
-    surv = kept.join(first, "_lh").filter(
-        (F.col(doc) == F.col(f"_first.{doc}"))
-        & (F.col(line_no) == F.col(f"_first.{line_no}"))
+    surv = (
+        kept.groupBy("_lh")
+        .agg(F.min(F.struct(doc, line_no, line)).alias("_first"))
+        .select("_first.*")
     )
     rollup = surv.groupBy(doc).agg(
         F.count(F.lit(1)).alias("n_unique"),
@@ -525,7 +547,7 @@ def c4_clean(
             "\n",
         ).alias("clean_text"),
     )
-    return flags.join(rollup, doc, "left").select(
+    return per_doc.drop("_kept", "_ban").join(rollup, doc, "left").select(
         doc,
         "n_lines",
         "n_kept",
