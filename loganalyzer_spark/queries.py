@@ -74,6 +74,9 @@ _DEMOTED = [
                                     # trainer; BPTT gradients pinned by
                                     # tests/test_deeplog.py)
     "logreg_train_score",           # no_oracle (driver-side training)
+    "dt_rfc_train_score",           # no_oracle (driver-side CART/forest
+                                    # training; compiled-expression vs
+                                    # numpy parity is pytest-pinned)
     "loglizer_incremental_train_score",  # no_oracle (driver-side
                                     # partial_fit training, VERDICT r4
                                     # item 6); convergence parity is
@@ -86,7 +89,7 @@ _DEMOTED = [
                                     # distinct in-window ops first
     "gnb_score",                    # model-zoo kernels: same broadcast-weights
     "svm_margin",                   # vectorized-scoring shape certified
-    "rfc_score",                    # in-window by logreg_score_arrow + dt_score
+    "rfc_score",                    # in-window by logreg_score_arrow
     "tpch_q3",                      # ≡ tpch_q5's join→agg→sort shape minus
                                     # three dims; q5 is the superset evidence
     "url_host_stats",               # canonicalization re-certified inside
@@ -1625,6 +1628,29 @@ def logreg_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _doc_vectors(spark, sf_dir).join(labels, "doc_id")
     out = SC.train_and_score(spark, vec)
     return out.select("doc_id", "label", F.round("score", 6).alias("score"), "pred")
+
+
+@register("dt_rfc_train_score", None)  # driver-side training → rows-only
+def dt_rfc_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DT + RFC rows of the reference model zoo TRAINED, not synthesized
+    (loglizer.py:451-452 DecisionTreeClassifier(criterion='gini'),
+    :461 RandomForestClassifier): CART/forest fit driver-side on the
+    collected per-doc ECM (label = doc contains an 'abn: ' line;
+    sklearn absent from the image, so the gini estimator core is
+    scoring.train_cart / train_random_forest), then the corpus is
+    scored through the learned trees COMPILED to nested CASE WHEN
+    column expressions — zero Python in the scoring path, the
+    dt_score_expr / rfc_score_expr pattern with learned splits.
+    Rows-only like logreg_train_score (driver-side training has no SQL
+    oracle); numpy-vs-compiled-expression score parity and the gini
+    split math are pinned by tests/test_operators.py::test_cart_*."""
+    routed = _routed(spark, sf_dir)
+    labels = routed.groupBy("doc_id").agg(F.max("is_abn").alias("label"))
+    vec = _doc_vectors(spark, sf_dir).join(labels, "doc_id")
+    out = SC.train_dt_and_score(spark, vec)
+    return out.select(
+        "doc_id", "label", "dt_score", "dt_pred", "rfc_score", "rfc_pred"
+    ).orderBy("doc_id")
 
 
 @register("loglab_kfold_validate", None)  # driver-side CV → rows-only

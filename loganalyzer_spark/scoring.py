@@ -247,6 +247,233 @@ def kfold_validate(
 
 
 # ---------------------------------------------------------------------------
+# CART training — the DT / RFC rows of the reference's model zoo
+# (loglizer.py:450-461 trains tree.DecisionTreeClassifier(
+# criterion='gini', max_depth=None) and RandomForestClassifier(
+# n_estimators=100); oldschool inference consumes the DT). sklearn is
+# absent from this image, so the estimator core is implemented
+# directly, like IncrementalLogReg above. The learned tree compiles to
+# a nested CASE WHEN column expression (the dt_score_expr pattern with
+# learned splits), so SCORING stays JVM-side with zero Python.
+# ---------------------------------------------------------------------------
+
+def train_cart(
+    X: np.ndarray,
+    y: np.ndarray,
+    max_depth: int = 8,
+    min_samples_split: int = 2,
+) -> tuple:
+    """CART decision tree, gini criterion (the deterministic subset of
+    ``DecisionTreeClassifier(criterion='gini', splitter='best')``,
+    loglizer.py:451-452): at each node every feature's candidate
+    thresholds are the midpoints between consecutive distinct sorted
+    values; the (feature, threshold) split minimizing the
+    sample-weighted child gini wins, ties broken toward the lowest
+    feature index then lowest threshold (a fixed scan order — sklearn
+    breaks ties by RNG, which a hash-checked gate cannot tolerate).
+
+    ``max_depth`` defaults to 8 (vs the reference's None): the tree is
+    compiled to nested CASE WHEN, and janino's 64 KB codegen method
+    limit caps how deep that can grow (CLAUDE.md gotcha) — depth 8 is
+    ≤255 internal nodes, comfortably inside, and the collected ECM is
+    near-separable long before that.
+
+    Returns nested tuples: ``('leaf', p1)`` with p1 = class-1 fraction,
+    or ``('split', feat, thr, left, right)`` routing ``x[feat] <= thr``
+    left.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+
+    def gini_split(xs: np.ndarray, ys: np.ndarray):
+        """Best (thr, weighted_gini) for one sorted feature column."""
+        n = len(ys)
+        pos = np.cumsum(ys)  # positives in the first i+1 rows
+        cut = np.nonzero(xs[:-1] < xs[1:])[0]  # split AFTER index i
+        if len(cut) == 0:
+            return None
+        nl = (cut + 1).astype(np.float64)
+        nr = n - nl
+        pl = pos[cut] / nl
+        pr = (pos[-1] - pos[cut]) / nr
+        g = nl * 2 * pl * (1 - pl) + nr * 2 * pr * (1 - pr)
+        i = int(np.argmin(g))  # first minimum = lowest threshold
+        return (xs[cut[i]] + xs[cut[i] + 1]) / 2.0, float(g[i]) / n
+
+    def build(idx: np.ndarray, depth: int) -> tuple:
+        ys = y[idx]
+        p1 = float(ys.mean()) if len(ys) else 0.0
+        if (
+            depth >= max_depth
+            or len(idx) < min_samples_split
+            or p1 in (0.0, 1.0)
+        ):
+            return ("leaf", p1)
+        parent_gini = 2 * p1 * (1 - p1)
+        best = None  # (gini, feat, thr)
+        for f in range(X.shape[1]):
+            order = np.argsort(X[idx, f], kind="stable")
+            found = gini_split(X[idx, f][order], ys[order])
+            if found is None:
+                continue
+            thr, g = found
+            if best is None or g < best[0] - 1e-12:
+                best = (g, f, thr)
+        if best is None or best[0] >= parent_gini - 1e-12:
+            return ("leaf", p1)
+        _, f, thr = best
+        left = idx[X[idx, f] <= thr]
+        right = idx[X[idx, f] > thr]
+        return (
+            "split",
+            f,
+            float(thr),
+            build(left, depth + 1),
+            build(right, depth + 1),
+        )
+
+    return build(np.arange(len(y)), 0)
+
+
+def cart_predict(tree: tuple, X: np.ndarray) -> np.ndarray:
+    """Numpy-side class-1 probability per row (the parity oracle for
+    the compiled column expression)."""
+    X = np.asarray(X, dtype=np.float64)
+    out = np.empty(len(X), dtype=np.float64)
+
+    def walk(node: tuple, idx: np.ndarray) -> None:
+        if node[0] == "leaf":
+            out[idx] = round(node[1], 6)
+            return
+        _, f, thr, lo, hi = node
+        mask = X[idx, f] <= thr
+        walk(lo, idx[mask])
+        walk(hi, idx[~mask])
+
+    walk(tree, np.arange(len(X)))
+    return out
+
+
+def cart_to_expr(tree: tuple, vec_col: str) -> F.Column:
+    """Compile a trained CART to a nested CASE WHEN over the ECM array
+    — learned-split dt_score_expr; zero Python in the scoring path."""
+    if tree[0] == "leaf":
+        return F.lit(round(tree[1], 6))
+    _, f, thr, lo, hi = tree
+    x = F.element_at(F.col(vec_col), f + 1).cast("double")
+    return F.when(x <= F.lit(thr), cart_to_expr(lo, vec_col)).otherwise(
+        cart_to_expr(hi, vec_col)
+    )
+
+
+def _lcg_indices(n: int, k: int, seed: int) -> np.ndarray:
+    """k deterministic draws from range(n) — the bootstrap/subspace RNG
+    (same LCG family as dedup.minhash_params; sklearn's RandomState
+    bootstrap is not reproducible across versions)."""
+    s = seed & (2**63 - 1)
+    out = np.empty(k, dtype=np.int64)
+    for i in range(k):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (2**63)
+        out[i] = s % n
+    return out
+
+
+def train_random_forest(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_trees: int = 10,
+    max_depth: int = 6,
+    seed: int = 88172645463325252,
+) -> list[tuple[list[int], tuple]]:
+    """Deterministic random forest (RandomForestClassifier's recipe,
+    loglizer.py:461: bootstrap rows + sqrt-feature subspace per tree,
+    probability = mean of per-tree leaf fractions) with LCG-seeded
+    bagging instead of sklearn's RandomState. n_trees defaults to 10
+    (not the reference's 100) to keep the compiled CASE ensemble far
+    inside the janino 64 KB method limit; the collected ECM is tiny, so
+    variance reduction saturates long before 100 trees here.
+
+    Returns [(feature_subset, tree)] where each tree's feature indices
+    are LOCAL to its subset (cart_to_expr-compatible after remap by
+    forest_to_expr).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, d = X.shape
+    m = max(1, int(np.sqrt(d)))
+    forest = []
+    for t in range(n_trees):
+        rows = np.sort(_lcg_indices(n, n, seed + 2 * t + 1))
+        # sample feature subset without replacement: first m distinct
+        feats: list[int] = []
+        draw = seed + 2 * t + 2
+        while len(feats) < m:
+            draw += 1
+            f = int(_lcg_indices(d, 1, draw)[0])
+            if f not in feats:
+                feats.append(f)
+        feats.sort()
+        forest.append((feats, train_cart(X[rows][:, feats], y[rows], max_depth)))
+    return forest
+
+
+def forest_predict(forest: list, X: np.ndarray) -> np.ndarray:
+    """Mean of per-tree probabilities (predict_proba averaging)."""
+    X = np.asarray(X, dtype=np.float64)
+    acc = np.zeros(len(X), dtype=np.float64)
+    for feats, tree in forest:
+        acc += cart_predict(tree, X[:, feats])
+    return np.round(acc / len(forest), 6)
+
+
+def forest_to_expr(forest: list, vec_col: str) -> F.Column:
+    """Compile the forest to (Σ per-tree CASE trees) / n — the
+    rfc_score_expr ensemble pattern with learned splits."""
+
+    def remap(node: tuple, feats: list[int]) -> tuple:
+        if node[0] == "leaf":
+            return node
+        _, f, thr, lo, hi = node
+        return ("split", feats[f], thr, remap(lo, feats), remap(hi, feats))
+
+    total = None
+    for feats, tree in forest:
+        e = cart_to_expr(remap(tree, feats), vec_col)
+        total = e if total is None else total + e
+    return F.round(total / F.lit(float(len(forest))), 6)
+
+
+def train_dt_and_score(
+    spark: SparkSession,
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "vec",
+    max_train_rows: int = 100_000,
+    max_depth: int = 8,
+    n_trees: int = 10,
+) -> DataFrame:
+    """Collect the (small) ECM, train the CART and the forest on the
+    driver (loglizer.py:450-461 DT/RFC rows), score the full DataFrame
+    through compiled CASE WHEN expressions — zero Python scoring.
+    Adds ``dt_score``/``dt_pred`` and ``rfc_score``/``rfc_pred``.
+    Tie rule: predict_proba argmax takes class 0 at exactly 0.5, so
+    pred = score > 0.5."""
+    train = vectors.select(vec_col, label_col).limit(max_train_rows).toPandas()
+    X = np.vstack(train[vec_col].to_numpy())
+    y = train[label_col].to_numpy()
+    tree = train_cart(X, y, max_depth=max_depth)
+    forest = train_random_forest(X, y, n_trees=n_trees)
+    dt = cart_to_expr(tree, vec_col)
+    rfc = forest_to_expr(forest, vec_col)
+    return (
+        vectors.withColumn("dt_score", dt)
+        .withColumn("dt_pred", (F.col("dt_score") > 0.5).cast("int"))
+        .withColumn("rfc_score", rfc)
+        .withColumn("rfc_pred", (F.col("rfc_score") > 0.5).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fixed-weight kernels (deterministic, DuckDB-oracle-checkable)
 # ---------------------------------------------------------------------------
 

@@ -1619,3 +1619,96 @@ def test_compact_parquet_recovers_from_crash_leftovers(spark, tmp_path):
     assert not os.path.exists(path + ".__old__")
     assert not os.path.exists(path + ".__compact__")
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_cart_hand_computed_splits():
+    """train_cart reproduces the hand-derived gini tree on a tiny
+    dataset, including the midpoint threshold rule, the
+    lowest-feature tie-break, and pure-leaf stopping."""
+    import numpy as np
+
+    from loganalyzer_spark.scoring import cart_predict, train_cart
+
+    # one feature, clean cut at 2.5
+    X = np.array([[1.0], [2.0], [3.0], [4.0]])
+    y = np.array([0.0, 0.0, 1.0, 1.0])
+    tree = train_cart(X, y)
+    assert tree[0] == "split" and tree[1] == 0 and tree[2] == 2.5
+    assert tree[3] == ("leaf", 0.0) and tree[4] == ("leaf", 1.0)
+    assert cart_predict(tree, X).tolist() == [0.0, 0.0, 1.0, 1.0]
+
+    # two identical features: the split must take feature 0 (scan-order
+    # tie-break), never feature 1
+    X2 = np.column_stack([X[:, 0], X[:, 0]])
+    tree2 = train_cart(X2, y)
+    assert tree2[1] == 0
+
+    # depth-2 case: feature 1 separates what feature 0 cannot
+    X3 = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]])
+    y3 = np.array([0.0, 0.0, 0.0, 1.0])
+    t3 = train_cart(X3, y3)
+    # root: either feature splits off a pure-0 half (gini 1/6 each way,
+    # tie -> feature 0); the mixed child then splits on feature 1
+    assert t3[0] == "split" and t3[1] == 0 and t3[2] == 0.5
+    assert t3[3] == ("leaf", 0.0)
+    right = t3[4]
+    assert right[0] == "split" and right[1] == 1
+    assert right[3] == ("leaf", 0.0) and right[4] == ("leaf", 1.0)
+
+    # constant features + mixed labels -> no split possible -> leaf
+    t4 = train_cart(np.ones((4, 2)), y)
+    assert t4 == ("leaf", 0.5)
+
+
+def test_cart_and_forest_expr_parity(spark):
+    """The compiled CASE WHEN expressions score identically to the
+    numpy-side cart_predict/forest_predict on the same vectors (the
+    zero-Python scoring contract for the LEARNED trees)."""
+    import numpy as np
+
+    from loganalyzer_spark.scoring import (
+        cart_predict,
+        cart_to_expr,
+        forest_predict,
+        forest_to_expr,
+        train_cart,
+        train_random_forest,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d = 300, 5
+    X = np.round(rng.normal(size=(n, d)), 3)
+    y = ((X[:, 0] - 2 * X[:, 2] + 0.5 * X[:, 4]) > 0.2).astype(np.float64)
+    # flip a few labels so leaves carry fractional probabilities
+    y[::17] = 1 - y[::17]
+
+    tree = train_cart(X, y, max_depth=4)
+    forest = train_random_forest(X, y, n_trees=5, max_depth=3)
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "i int, vec array<double>",
+    )
+    got = (
+        df.select(
+            "i",
+            cart_to_expr(tree, "vec").alias("dt"),
+            forest_to_expr(forest, "vec").alias("rfc"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    dt_np = cart_predict(tree, X)
+    rfc_np = forest_predict(forest, X)
+    for r in got:
+        assert r["dt"] == dt_np[r["i"]]  # exact: same rounded leaf lits
+        assert abs(r["rfc"] - rfc_np[r["i"]]) <= 2e-6  # round-rule ulp
+
+    # the learned CART must actually fit: training accuracy well above
+    # the base rate on near-separable data
+    acc = float(((dt_np > 0.5) == (y > 0.5)).mean())
+    assert acc >= 0.9
+
+    # determinism: retraining yields the identical structures
+    assert train_cart(X, y, max_depth=4) == tree
+    assert train_random_forest(X, y, n_trees=5, max_depth=3) == forest
