@@ -343,12 +343,20 @@ def dsir_weights(
     aggregates — the dim pass shuffles ≤ ``buckets`` rows per map task,
     the scoring pass shuffles one row per document after a broadcast
     join against the ≤ ``buckets``-row log-ratio dim. No per-row
-    Python. The rank pass is a global row_number window over |docs|
-    (doc_id, logw) pairs — a single-reducer sort that is the exact
-    oracle form; at 100 TB swap a two-pass rank (approx cutoff from
-    percentile_approx, then exact rank only inside the boundary
-    bucket) — the exact form here is what the sketch would be judged
-    against.
+    Python. The rank pass is the canonical distributed exact rank —
+    range-repartition on the sort key + per-partition local indices +
+    a broadcast partition-offsets dim — NOT a global-ORDER-BY window
+    (``row_number() over (order by ...)`` with no partition ships
+    every row to ONE reducer; Spark even warns). The post-exchange
+    projection is PERSISTED (the ``RDD.zipWithIndex`` structure): the
+    offsets dim and the rank branch both read one InMemoryRelation, so
+    the gram pipeline runs exactly once — without the cache, column
+    pruning gives the two branches structurally different exchange
+    subtrees and ReuseExchange never fires (verified: the whole
+    pipeline planned twice). The cached rows are 4 skinny columns
+    (~32 B/doc — ~800 GB for a 25 G-doc / 100 TB corpus, trivial
+    across a fleet; MEMORY_AND_DISK so executors under pressure spill
+    instead of recomputing). Nothing ever sits on a single partition.
 
     Rounding contract (hardened after a driver-env hash flip at the
     1e-6 grid, VERDICT r4 item 1): per-bucket log_ratio rounds to
@@ -414,18 +422,54 @@ def dsir_weights(
             ).alias("logw_micro"),
         )
     )
+    # Distributed exact global rank over the unique key
+    # (logw_micro, doc_id). Range partitions hold ascending disjoint
+    # key ranges in ascending partition id, each sorted locally, so
+    #   global rank = (rows in earlier partitions) + local index + 1.
+    # The local index comes from monotonically_increasing_id's layout
+    # contract (pid in the upper bits, the within-partition row number
+    # in the low 33); _pid and _loc are read from the SAME id value so
+    # they cannot disagree. The explicit partition count keeps AQE
+    # from re-planning the exchange with a coalesce spec. The persist
+    # below guarantees the sizes branch and the rank branch see the
+    # SAME materialized (pid, loc) assignment (and stops the pipeline
+    # from planning twice — see docstring); where the range boundaries
+    # fall never affects the result — keys are unique, rank is rank.
+    # The offsets window runs over the ≤N-row sizes DIM, not the
+    # corpus. The broadcast of offsets materializes first, filling the
+    # cache; the final join then reads it.
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
-    ranked = scored.withColumn(
-        "_rk", F.row_number().over(Window.orderBy("logw_micro", "doc_id"))
-    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
-    return ranked.select(
+    n_range = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    mid = F.monotonically_increasing_id()
+    local = (
+        scored.repartitionByRange(n_range, "logw_micro", "doc_id")
+        .sortWithinPartitions("logw_micro", "doc_id")
+        .select("doc_id", "n_grams", "logw_micro", mid.alias("_mid"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "logw_micro",
+            F.shiftright("_mid", 33).alias("_pid"),
+            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_loc"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    wdim = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(wdim), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_n"),
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
         "doc_id",
         "n_grams",
         "logw_micro",
-        (F.col("_rk") > F.floor(F.col("_n") * F.lit(float(keep_quantile)))).alias(
-            "keep"
-        ),
+        (
+            (F.col("_off") + F.col("_loc") + F.lit(1))
+            > F.floor(F.col("_n") * F.lit(float(keep_quantile)))
+        ).alias("keep"),
     )
 
 
