@@ -343,20 +343,36 @@ def dsir_weights(
     aggregates — the dim pass shuffles ≤ ``buckets`` rows per map task,
     the scoring pass shuffles one row per document after a broadcast
     join against the ≤ ``buckets``-row log-ratio dim. No per-row
-    Python. The rank pass is the canonical distributed exact rank —
-    range-repartition on the sort key + per-partition local indices +
-    a broadcast partition-offsets dim — NOT a global-ORDER-BY window
-    (``row_number() over (order by ...)`` with no partition ships
-    every row to ONE reducer; Spark even warns). The post-exchange
-    projection is PERSISTED (the ``RDD.zipWithIndex`` structure): the
-    offsets dim and the rank branch both read one InMemoryRelation, so
-    the gram pipeline runs exactly once — without the cache, column
-    pruning gives the two branches structurally different exchange
-    subtrees and ReuseExchange never fires (verified: the whole
-    pipeline planned twice). The cached rows are 4 skinny columns
-    (~32 B/doc — ~800 GB for a 25 G-doc / 100 TB corpus, trivial
-    across a fleet; MEMORY_AND_DISK so executors under pressure spill
-    instead of recomputing). Nothing ever sits on a single partition.
+    Python. The keep bit needs the key at integer rank
+    ``floor(q·n)`` — ranking every row for a single cutoff is wasted
+    motion, so the cutoff key is found by EXACT distributed selection
+    instead (no corpus-wide range shuffle, no global-ORDER-BY window,
+    which would ship every row to ONE reducer):
+
+    1. persist the skinny per-doc projection (3 columns, ~24 B/doc —
+       the gram pipeline runs exactly once; MEMORY_AND_DISK so
+       executors under pressure spill instead of recomputing);
+    2. one agg gives ``n``; one gives a Greenwald–Khanna bracket
+       ``[P_lo, P_hi]`` from ``percentile_approx`` at
+       ``q ± max(3/acc, 8/n)`` — GK's deterministic rank-error bound
+       (≤ n/acc) plus the ±1-rank definitional slack means the true
+       rank-k key ALWAYS lies inside the bracket (a count-based guard
+       falls back to selecting over the full set anyway, so
+       correctness never rests on the bound — only speed does);
+    3. one agg counts rows below/inside the bracket; the rows inside
+       (≤ ~6n/acc + cutoff-value ties, ~250k rows for a 25 G-doc
+       corpus at acc=1e5) are the only rows that ever shuffle —
+       ``_nth_key`` range-partitions JUST the bracket and fetches the
+       exact rank-``(k − n_below)`` key;
+    4. ``keep`` is then a broadcast integer comparison against the
+       cutoff key — zero additional exchanges on the corpus.
+
+    Worst case (every doc sharing one logw value, so the bracket IS
+    the corpus) degrades to exactly the old distributed-rank plan —
+    a range shuffle of the skinny projection — never to a single
+    reducer. Driver-side control flow collects O(1) scalar rows plus
+    ≤ ``spark.sql.shuffle.partitions`` partition sizes, documented
+    bounded.
 
     Rounding contract (hardened after a driver-env hash flip at the
     1e-6 grid, VERDICT r4 item 1): per-bucket log_ratio rounds to
@@ -422,55 +438,113 @@ def dsir_weights(
             ).alias("logw_micro"),
         )
     )
-    # Distributed exact global rank over the unique key
-    # (logw_micro, doc_id). Range partitions hold ascending disjoint
-    # key ranges in ascending partition id, each sorted locally, so
-    #   global rank = (rows in earlier partitions) + local index + 1.
-    # The local index comes from monotonically_increasing_id's layout
-    # contract (pid in the upper bits, the within-partition row number
-    # in the low 33); _pid and _loc are read from the SAME id value so
-    # they cannot disagree. The explicit partition count keeps AQE
-    # from re-planning the exchange with a coalesce spec. The persist
-    # below guarantees the sizes branch and the rank branch see the
-    # SAME materialized (pid, loc) assignment (and stops the pipeline
-    # from planning twice — see docstring); where the range boundaries
-    # fall never affects the result — keys are unique, rank is rank.
-    # The offsets window runs over the ≤N-row sizes DIM, not the
-    # corpus. The broadcast of offsets materializes first, filling the
-    # cache; the final join then reads it.
-    from pyspark.sql import Window
+    # keep = integer rank over the UNIQUE key (logw_micro, doc_id)
+    # > floor(q·n)  ⟺  (logw_micro, doc_id) > cutoff key at rank
+    # floor(q·n). Selecting that one key exactly (docstring steps 1-4)
+    # costs three tiny aggs over the persisted skinny projection plus
+    # a shuffle of only the GK bracket — the corpus itself never
+    # range-shuffles, and the keep bit becomes a broadcast integer
+    # comparison.
+    import math
+
     from pyspark.storagelevel import StorageLevel
 
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    n = scored.count()
+    k = int(math.floor(keep_quantile * n))
+    if k <= 0:
+        return scored.withColumn("keep", F.lit(True))
+
+    acc = 100_000
+    # pad ≥ 1/acc + 1/n makes the bracket provably contain the rank-k
+    # key under GK's deterministic error bound (see docstring); the
+    # count guard below keeps exactness even if it somehow didn't.
+    pad = max(3.0 / acc, 8.0 / n)
+    lo_q, hi_q = max(0.0, keep_quantile - pad), min(1.0, keep_quantile + pad)
+    p = scored.agg(
+        F.percentile_approx("logw_micro", [lo_q, hi_q], acc).alias("p")
+    ).collect()[0]["p"]
+    p_lo, p_hi = int(p[0]), int(p[1])
+    cnt = scored.agg(
+        F.sum(F.when(F.col("logw_micro") < p_lo, 1).otherwise(0)).alias("lt"),
+        F.sum(
+            F.when(F.col("logw_micro").between(p_lo, p_hi), 1).otherwise(0)
+        ).alias("br"),
+    ).collect()[0]
+    n_lt, n_br = int(cnt["lt"] or 0), int(cnt["br"] or 0)
+    if n_lt < k <= n_lt + n_br:
+        bracket = scored.filter(F.col("logw_micro").between(p_lo, p_hi))
+    else:  # unreachable under GK bounds; exactness must not rest on them
+        n_lt, bracket = 0, scored
     n_range = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    mid = F.monotonically_increasing_id()
-    local = (
-        scored.repartitionByRange(n_range, "logw_micro", "doc_id")
-        .sortWithinPartitions("logw_micro", "doc_id")
-        .select("doc_id", "n_grams", "logw_micro", mid.alias("_mid"))
-        .select(
-            "doc_id",
-            "n_grams",
-            "logw_micro",
-            F.shiftright("_mid", 33).alias("_pid"),
-            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_loc"),
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    wdim = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(wdim), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(Window.partitionBy()).alias("_n"),
-    )
-    return local.join(F.broadcast(offsets), "_pid").select(
+    cut_w, cut_d = _nth_key(bracket, k - n_lt, n_range)
+    return scored.select(
         "doc_id",
         "n_grams",
         "logw_micro",
         (
-            (F.col("_off") + F.col("_loc") + F.lit(1))
-            > F.floor(F.col("_n") * F.lit(float(keep_quantile)))
+            (F.col("logw_micro") > F.lit(cut_w))
+            | (
+                (F.col("logw_micro") == F.lit(cut_w))
+                & (F.col("doc_id") > F.lit(cut_d))
+            )
         ).alias("keep"),
     )
+
+
+def _nth_key(df, r: int, n_range: int):
+    """Exact r-th smallest ``(logw_micro, doc_id)`` of ``df``, 1-based.
+
+    Distributed selection: range partitions hold ascending disjoint key
+    ranges in ascending partition id, each sorted locally, so
+    global rank = (rows in earlier partitions) + local index + 1. The
+    local index comes from ``monotonically_increasing_id``'s layout
+    contract (pid in the upper bits, within-partition row number in the
+    low 33); _pid and _loc are read from the SAME id value so they
+    cannot disagree. The projection is persisted so the sizes job and
+    the fetch job see the SAME materialized (pid, loc) assignment
+    (range-boundary sampling is not seed-stable across jobs); where
+    the boundaries fall never affects the answer — keys are unique,
+    rank is rank. Driver traffic: ≤ ``n_range`` partition sizes + the
+    one cutoff row.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    mid = F.monotonically_increasing_id()
+    local = (
+        df.repartitionByRange(n_range, "logw_micro", "doc_id")
+        .sortWithinPartitions("logw_micro", "doc_id")
+        .select("logw_micro", "doc_id", mid.alias("_mid"))
+        .select(
+            "logw_micro",
+            "doc_id",
+            F.shiftright("_mid", 33).alias("_pid"),
+            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_loc"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        sizes = sorted(
+            (
+                (row["_pid"], row["_cnt"])
+                for row in local.groupBy("_pid")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .collect()
+            )
+        )
+        off = 0
+        pid = loc = None
+        for p, c in sizes:
+            if r <= off + c:
+                pid, loc = p, r - off - 1
+                break
+            off += c
+        row = local.filter(
+            (F.col("_pid") == pid) & (F.col("_loc") == loc)
+        ).collect()[0]
+        return row["logw_micro"], row["doc_id"]
+    finally:
+        local.unpersist()
 
 
 def c4_clean(

@@ -986,6 +986,49 @@ def test_dsir_importance_weights(spark):
         assert r["keep"] == (rk > (3 * n) // 4)
 
 
+def _assert_dsir_keep_is_exact_rank(out_rows, keep_quantile):
+    order = sorted(out_rows, key=lambda r: (r["logw_micro"], r["doc_id"]))
+    k = int(len(order) * keep_quantile)  # floor for the defaults used
+    for rk, r in enumerate(order, start=1):
+        assert r["keep"] == (rk > k), (r["doc_id"], rk, k)
+
+
+def test_dsir_keep_cutoff_selection_adversarial(spark):
+    """The distributed cutoff selection must equal the brute integer
+    rank rule on the distributions that stress it: a giant tie
+    straddling the cutoff (the GK bracket collapses to one value and
+    the tie-break by doc_id decides every keep bit), all-unique keys,
+    and n small enough that floor(q*n) = 0 (keep-all)."""
+    from loganalyzer_spark.operators import web as W
+
+    # 40 identical docs (one logw value, ranks 1..40 decided purely by
+    # doc_id) + 10 distinct docs; the 0.75 cutoff of n=50 is rank 37,
+    # inside the tie.
+    rows = [(i, "the cat sat on the mat", i < 3) for i in range(40)]
+    rows += [(100 + j, f"uniq{j} tok{j} w{j} cat", False) for j in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    out = W.dsir_weights(docs, buckets=32).collect()
+    assert len(out) == 50
+    tie = {r["logw_micro"] for r in out if r["doc_id"] < 40}
+    assert len(tie) == 1  # the planted tie is real
+    _assert_dsir_keep_is_exact_rank(out, 0.75)
+
+    # all-unique keys (distinct texts of varying length)
+    uniq = spark.createDataFrame(
+        [(i, "tok " * (i + 1) + f"id{i}", i % 4 == 0) for i in range(23)],
+        ["doc_id", "text", "is_target"],
+    )
+    out_u = W.dsir_weights(uniq, buckets=32).collect()
+    assert len({(r["logw_micro"], r["doc_id"]) for r in out_u}) == 23
+    _assert_dsir_keep_is_exact_rank(out_u, 0.75)
+
+    # n=1: floor(0.75*1) = 0 -> keep everything
+    one = spark.createDataFrame(
+        [(0, "solo doc", True)], ["doc_id", "text", "is_target"]
+    )
+    assert [r["keep"] for r in W.dsir_weights(one, buckets=8).collect()] == [True]
+
+
 def test_incremental_partial_fit_convergence():
     """IncrementalLogReg (the loglizer inc_updt path, loglizer.py:
     429-471) must converge to the same decision function as the
