@@ -450,20 +450,28 @@ def dsir_weights(
     from pyspark.storagelevel import StorageLevel
 
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    n = scored.count()
-    k = int(math.floor(keep_quantile * n))
-    if k <= 0:
-        return scored.withColumn("keep", F.lit(True))
 
     acc = 100_000
     # pad ≥ 1/acc + 1/n makes the bracket provably contain the rank-k
     # key under GK's deterministic error bound (see docstring); the
     # count guard below keeps exactness even if it somehow didn't.
-    pad = max(3.0 / acc, 8.0 / n)
-    lo_q, hi_q = max(0.0, keep_quantile - pad), min(1.0, keep_quantile + pad)
-    p = scored.agg(
-        F.percentile_approx("logw_micro", [lo_q, hi_q], acc).alias("p")
-    ).collect()[0]["p"]
+    # n and the bracket come from ONE job (pad=3/acc is already valid
+    # for n ≥ 50k); only tiny inputs — where everything is cheap —
+    # pay a second percentile pass with the n-aware pad.
+    def _bracket(pad: float):
+        lo_q = max(0.0, keep_quantile - pad)
+        hi_q = min(1.0, keep_quantile + pad)
+        return F.percentile_approx("logw_micro", [lo_q, hi_q], acc).alias("p")
+
+    first = scored.agg(F.count(F.lit(1)).alias("n"), _bracket(3.0 / acc)).collect()[0]
+    n = int(first["n"])
+    k = int(math.floor(keep_quantile * n))
+    if k <= 0:
+        return scored.withColumn("keep", F.lit(True))
+    p = first["p"]
+    if n < 50_000:  # 3/acc < 1/acc + 1/n: re-bracket with the wide pad
+        pad = max(3.0 / acc, 8.0 / n)
+        p = scored.agg(_bracket(pad)).collect()[0]["p"]
     p_lo, p_hi = int(p[0]), int(p[1])
     cnt = scored.agg(
         F.sum(F.when(F.col("logw_micro") < p_lo, 1).otherwise(0)).alias("lt"),

@@ -1028,6 +1028,15 @@ def test_dsir_keep_cutoff_selection_adversarial(spark):
     )
     assert [r["keep"] for r in W.dsir_weights(one, buckets=8).collect()] == [True]
 
+    # keep_quantile=1.0: rank > n never holds -> keep nothing (the
+    # selection must fetch rank n, the max key, and compare strictly)
+    few = spark.createDataFrame(
+        [(i, f"doc {i} text", i == 0) for i in range(5)],
+        ["doc_id", "text", "is_target"],
+    )
+    out_none = W.dsir_weights(few, buckets=8, keep_quantile=1.0).collect()
+    assert [r["keep"] for r in out_none] == [False] * 5
+
 
 def test_incremental_partial_fit_convergence():
     """IncrementalLogReg (the loglizer inc_updt path, loglizer.py:
