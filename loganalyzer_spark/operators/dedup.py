@@ -64,15 +64,16 @@ def with_shingles(docs: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
     """
     # shingle i (1-based) = tokens[i..i+n-1] joined; guard the empty case —
     # Spark's sequence(1, 0) would generate a *descending* range.
-    toked = docs.withColumn("_toks", F.split(F.lower(F.col(text)), "\\s+"))
+    from loganalyzer_spark.operators import free_col
+
+    tc = free_col(docs, "_toks")
+    toked = docs.withColumn(tc, F.split(F.lower(F.col(text)), "\\s+"))
     expr = (
-        f"CASE WHEN size(_toks) < {n} THEN array() "
-        f"ELSE transform(sequence(1, size(_toks) - {n} + 1),"
-        f" i -> array_join(slice(_toks, i, {n}), ' ')) END"
+        f"CASE WHEN size(`{tc}`) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(`{tc}`) - {n} + 1),"
+        f" i -> array_join(slice(`{tc}`, i, {n}), ' ')) END"
     )
-    return toked.withColumn("shingles", F.array_distinct(F.expr(expr))).drop(
-        "_toks"
-    )
+    return toked.withColumn("shingles", F.array_distinct(F.expr(expr))).drop(tc)
 
 
 def exact_dedup(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:

@@ -144,6 +144,9 @@ def domain_mix(
     t_row = counts.agg(
         F.min(F.expr(f"(_n * {W}) DIV _w")).alias("_T")
     )
+    from loganalyzer_spark.operators import free_col
+
+    kc = free_col(df, "_k")  # joined onto the caller's df — must not collide
     rates = counts.crossJoin(F.broadcast(t_row)).select(
         domain,
         F.floor(
@@ -151,10 +154,10 @@ def domain_mix(
             / (F.lit(float(W)) * F.col("_n").cast("double"))
         )
         .cast("long")
-        .alias("_k"),
+        .alias(kc),
     )
     return (
         df.join(F.broadcast(rates), domain)
-        .filter(hash16_int(key) < F.col("_k"))
-        .drop("_k")
+        .filter(hash16_int(key) < F.col(kc))
+        .drop(kc)
     )

@@ -110,13 +110,16 @@ def fingerprint(docs: DataFrame, text: str = "text", k: int = 4) -> DataFrame:
     non-cheap uses of ``_norm`` also stop CollapseProject from
     re-inlining it.
     """
+    from loganalyzer_spark.operators import free_col
+
+    nc = free_col(docs, "_norm")
     normed = docs.withColumn(
-        "_norm", F.regexp_replace(F.lower(F.col(text)), "[^a-z0-9]", "")
+        nc, F.regexp_replace(F.lower(F.col(text)), "[^a-z0-9]", "")
     )
     grams = F.expr(
-        f"CASE WHEN length(_norm) < {k} THEN array(_norm) "
-        f"ELSE transform(sequence(1, length(_norm) - {k} + 1), "
-        f"i -> substring(_norm, i, {k})) END"
+        f"CASE WHEN length(`{nc}`) < {k} THEN array(`{nc}`) "
+        f"ELSE transform(sequence(1, length(`{nc}`) - {k} + 1), "
+        f"i -> substring(`{nc}`, i, {k})) END"
     )
     fp = F.array_min(
         F.transform(
@@ -124,9 +127,9 @@ def fingerprint(docs: DataFrame, text: str = "text", k: int = 4) -> DataFrame:
         )
     )
     return (
-        normed.withColumn("norm_len", F.length("_norm"))
+        normed.withColumn("norm_len", F.length(nc))
         .withColumn("fingerprint", fp)
-        .drop("_norm")
+        .drop(nc)
     )
 
 
@@ -152,8 +155,11 @@ def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     bigram position (O(tokens²) per row; the dominant cost of the r4
     quality_filter wall).
     """
-    toked = docs.withColumn("_toks", _tokens(text))
-    toks = F.col("_toks")
+    from loganalyzer_spark.operators import free_col
+
+    tc = free_col(docs, "_toks")
+    toked = docs.withColumn(tc, _tokens(text))
+    toks = F.col(tc)
     n = F.size(toks)
     distinct_ratio = F.when(
         n > 0, F.size(F.array_distinct(toks)).cast("double") / n
@@ -201,7 +207,7 @@ def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("distinct_ratio", F.round(distinct_ratio, 6))
         .withColumn("top_tok_frac", F.round(top_tok_frac, 6))
         .withColumn("dup_bigram_frac", F.round(dup_bigram_frac, 6))
-        .drop("_toks")
+        .drop(tc)
     )
 
 

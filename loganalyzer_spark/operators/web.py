@@ -123,8 +123,11 @@ def word_ngrams(
     Tokens are materialized as a column first — slice(split(...))
     inlined in the transform lambda re-tokenizes the whole document per
     window position (see textstats.fingerprint)."""
-    toked = df.withColumn("_w", F.split(F.col(text), " "))
-    w = F.col("_w")
+    from loganalyzer_spark.operators import free_col
+
+    wc = free_col(df, "_w")
+    toked = df.withColumn(wc, F.split(F.col(text), " "))
+    w = F.col(wc)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - n),
@@ -134,7 +137,7 @@ def word_ngrams(
     empty = F.array().cast("array<string>")
     return toked.withColumn(
         out, F.when(F.size(w) >= n, grams).otherwise(empty)
-    ).drop("_w")
+    ).drop(wc)
 
 
 def decontaminate(

@@ -88,8 +88,18 @@ def train_and_score(
     max_train_rows: int = 100_000,
 ) -> DataFrame:
     """Collect the (small) ECM, train LR on the driver, score the full
-    DataFrame distributed. Adds ``score`` and ``pred`` columns."""
-    train = vectors.select(vec_col, label_col).limit(max_train_rows).toPandas()
+    DataFrame distributed. Adds ``score`` and ``pred`` columns.
+
+    The training slice is ordered on ``doc_id`` before ``limit`` —
+    an unordered limit over a join output picks partition-order rows,
+    which vary with AQE/shuffle layout, and the hash-gated outputs
+    cannot tolerate a run-dependent training set."""
+    train = (
+        vectors.select("doc_id", vec_col, label_col)
+        .orderBy("doc_id")
+        .limit(max_train_rows)
+        .toPandas()
+    )
     X = np.vstack(train[vec_col].to_numpy())
     y = train[label_col].to_numpy()
     w, b = train_logreg(X, y)
@@ -457,8 +467,19 @@ def train_dt_and_score(
     through compiled CASE WHEN expressions — zero Python scoring.
     Adds ``dt_score``/``dt_pred`` and ``rfc_score``/``rfc_pred``.
     Tie rule: predict_proba argmax takes class 0 at exactly 0.5, so
-    pred = score > 0.5."""
-    train = vectors.select(vec_col, label_col).limit(max_train_rows).toPandas()
+    pred = score > 0.5.
+
+    The training slice is ordered on ``doc_id`` before ``limit``: the
+    forest's LCG bootstrap indexes rows by collected POSITION, so an
+    unordered collect (partition-order, AQE-dependent) would train a
+    different forest per run — a shuffled split would flap the
+    rows-only driver gate."""
+    train = (
+        vectors.select("doc_id", vec_col, label_col)
+        .orderBy("doc_id")
+        .limit(max_train_rows)
+        .toPandas()
+    )
     X = np.vstack(train[vec_col].to_numpy())
     y = train[label_col].to_numpy()
     tree = train_cart(X, y, max_depth=max_depth)

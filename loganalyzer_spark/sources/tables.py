@@ -195,8 +195,11 @@ def compact_parquet(
     time), then swaps via two renames. The swap is NOT atomic: there
     is a crash window between the renames where ``path`` does not
     exist (readers see ENOENT, not partial data; recovery = rename
-    ``<path>.__old__`` back). Stale ``.__old__``/``.__compact__``
-    leftovers from a crashed prior run are removed up front. On object
+    ``<path>.__old__`` back — a re-run performs that rollback
+    automatically before anything else, so a crashed swap self-heals).
+    Stale ``.__old__``/``.__compact__`` leftovers are removed only
+    AFTER ``path`` is known to exist — when they are copies, never the
+    sole survivors. On object
     stores run the Iceberg ``rewrite_data_files`` procedure instead —
     rename is neither atomic nor cheap there.
     Returns {"files_before", "files_after", "rows"}.
@@ -218,8 +221,19 @@ def compact_parquet(
 
     tmp = path.rstrip("/") + ".__compact__"
     old = path.rstrip("/") + ".__old__"
-    # Leftovers from a crashed prior run: .__old__ would make the
-    # rename below fail, .__compact__ is garbage either way.
+    # Crash recovery BEFORE any cleanup: a prior run that died inside
+    # the rename window leaves `path` missing and `.__old__` holding
+    # the only original copy — deleting leftovers first would turn
+    # that recoverable crash into permanent data loss. Roll the
+    # original back, THEN reap garbage (at this point `path` exists,
+    # so .__old__/.__compact__ are stale copies, not survivors).
+    if not os.path.isdir(path):
+        if os.path.isdir(old):
+            os.rename(old, path)
+        else:
+            raise FileNotFoundError(
+                f"{path} missing and no {old} to recover from"
+            )
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
 

@@ -1673,6 +1673,76 @@ def test_compact_parquet_recovers_from_crash_leftovers(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
 
 
+def test_compact_parquet_rolls_back_mid_swap_crash(spark, tmp_path):
+    """A run that died INSIDE the rename window leaves ``path``
+    missing and ``.__old__`` holding the only copy of the data. A
+    re-run must rename the original back (never delete it) and then
+    compact normally; with neither ``path`` nor ``.__old__`` present
+    it must raise, not fabricate an empty sink."""
+    import os
+
+    import pytest as _pytest
+
+    from loganalyzer_spark.sources.tables import compact_parquet
+
+    path = str(tmp_path / "sink")
+    spark.range(0, 1000).selectExpr("id AS doc_id").repartition(8).write.parquet(
+        path
+    )
+    # Simulate the crash: swap started (path -> .__old__), new data
+    # never landed; a stale .__compact__ is also lying around.
+    os.rename(path, path + ".__old__")
+    os.makedirs(path + ".__compact__")
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["rows"] == 1000
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+
+    # Nothing to recover from at all -> explicit failure.
+    with _pytest.raises(FileNotFoundError):
+        compact_parquet(spark, str(tmp_path / "absent"))
+
+
+def test_passthrough_operators_preserve_caller_temp_columns(spark):
+    """Operators that add-then-drop internal scratch columns must not
+    clobber caller columns that happen to share the scratch name
+    (free_col): the caller's ``_toks``/``_norm``/``_w``/``_k`` data
+    must survive the passthrough unchanged."""
+    from loganalyzer_spark.operators.dedup import with_shingles
+    from loganalyzer_spark.operators.sample import domain_mix
+    from loganalyzer_spark.operators.textstats import (
+        fingerprint,
+        repetition_stats,
+    )
+    from loganalyzer_spark.operators.web import word_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}", i * 10) for i in range(6)],
+        "doc_id long, text string, payload long",
+    )
+
+    for name, op in [
+        ("_toks", lambda d: with_shingles(d, n=2)),
+        ("_toks", repetition_stats),
+        ("_norm", fingerprint),
+        ("_w", lambda d: word_ngrams(d, 2)),
+    ]:
+        tagged = docs.withColumn(name, F.col("payload") + 1)
+        out = op(tagged)
+        rows = {r["doc_id"]: r[name] for r in out.select("doc_id", name).collect()}
+        assert rows == {i: i * 10 + 1 for i in range(6)}, name
+
+    tagged = (
+        docs.withColumn("_k", F.col("payload") + 7)
+        .withColumn("lang", F.lit("en"))
+        .withColumn("sid", F.col("doc_id").cast("string"))
+    )
+    out = domain_mix(tagged, "lang", {"en": 1}, key="sid")
+    for r in out.select("doc_id", "_k").collect():
+        assert r["_k"] == r["doc_id"] * 10 + 7
+
+
 def test_cart_hand_computed_splits():
     """train_cart reproduces the hand-derived gini tree on a tiny
     dataset, including the midpoint threshold rule, the
