@@ -94,14 +94,28 @@ def _gated_runs(
     poisoned publish the best (min) wall — the max throughput estimates
     the plan's own speed. If EVERY probe of the first round is degraded,
     one more round is taken before settling for best-of.
+
+    The plan is BUILT inside the timed window and the cache cleared
+    before each rep: an operator that persists internally and runs
+    driver-side jobs at build time (dsir's selection pass) would
+    otherwise do its dominant work before t0 and hand the timed action
+    an InMemoryRelation — the CLAUDE.md warm-pass-cache gotcha, which
+    jobs/llmops_scale.py fixed but this shared helper still had. For
+    plain plan-composition queries the build adds only analysis
+    milliseconds.
     Returns (wall, rowcount, walls, probes, healthy)."""
+    from pyspark.sql import SparkSession
+
     walls: list[float] = []
     probes: list[float] = []
     n = 0
     for attempt in range(2):
         for _ in range(reps):
-            df = fn()
+            s = SparkSession.getActiveSession()
+            if s is not None:
+                s.catalog.clearCache()
             t0 = time.time()
+            df = fn()
             n = action(df)
             walls.append(time.time() - t0)
             probes.append(_host_mem_probe_mb_s())
@@ -197,16 +211,18 @@ def main() -> None:
     e2e = sorted(e2e_walls)[len(e2e_walls) // 2] if healthy else min(e2e_walls)
     timings["pipeline_e2e"] = round(e2e, 3)
 
-    # One additional fully-materialized e2e pass (hash every output
+    # Additional fully-materialized e2e passes (hash every output
     # column): count() on the final aggregate prunes the aggregate
     # VALUE expressions (group keys suffice for counting), so the
     # count-based number above — kept as the round-over-round headline
     # — slightly understates the full-output cost. Published alongside,
-    # not in the headline total.
-    df = build_agg()
-    t0 = time.time()
-    _run_materialize(df)
-    e2e_mat = time.time() - t0
+    # not in the headline total, under the SAME probe-gated
+    # median-or-best policy as everything else (a single unprobed run
+    # would publish a hazard-degraded wall with nothing to attribute
+    # it to).
+    e2e_mat, _, mat_walls, mat_probes, mat_healthy = _gated_runs(
+        build_agg, action=_run_materialize
+    )
 
     total = sum(timings.values())
     out = {
@@ -219,6 +235,9 @@ def main() -> None:
         "e2e_docs_per_sec": round(n_docs / e2e, 1),
         "e2e_docs_per_sec_materialized": round(n_docs / e2e_mat, 1),
         "e2e_wall_materialized_sec": round(e2e_mat, 3),
+        "e2e_mat_run_walls_sec": [round(w, 3) for w in mat_walls],
+        "e2e_mat_run_probes_mb_s": mat_probes,
+        "e2e_mat_policy": "median3" if mat_healthy else "best_of_runs_one_sided_noise",
         "e2e_agg_groups": n_groups,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
         # Probe sampled before AND after: the hazard can strike mid-run

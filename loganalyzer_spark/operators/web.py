@@ -309,6 +309,11 @@ def lm_perplexity(
     return per_doc.withColumn("lm_bucket", bucket).drop("_hc", "_tc")
 
 
+# Previous dsir_weights call's persisted projection (see the cache
+# lifecycle note inside the function) — at most one element.
+_DSIR_CACHE: list = []
+
+
 def dsir_weights(
     docs: DataFrame,
     is_target: str = "is_target",
@@ -452,7 +457,18 @@ def dsir_weights(
 
     from pyspark.storagelevel import StorageLevel
 
+    # Cache lifecycle: the persisted skinny projection is read by the
+    # selection jobs below AND by the returned plan's final action, so
+    # it cannot be unpersisted here without re-running the gram
+    # pipeline per consumer. Instead the leak is bounded to ONE entry:
+    # each call releases the previous call's cache (recompute-safe —
+    # unpersist never breaks a still-held result, it only uncaches its
+    # input), and a caller that is fully done can
+    # ``spark.catalog.clearCache()``.
+    while _DSIR_CACHE:
+        _DSIR_CACHE.pop().unpersist(blocking=False)
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    _DSIR_CACHE.append(scored)
 
     acc = 100_000
     # pad ≥ 1/acc + 1/n makes the bracket provably contain the rank-k

@@ -1704,6 +1704,23 @@ def test_compact_parquet_rolls_back_mid_swap_crash(spark, tmp_path):
         compact_parquet(spark, str(tmp_path / "absent"))
 
 
+def test_dsir_cache_bounded_to_one_entry(spark):
+    """dsir_weights persists its per-doc projection (load-bearing: the
+    selection jobs and the returned plan share it); repeated calls in
+    one session must RELEASE the previous call's cache, not accumulate
+    session-lifetime InMemoryRelations."""
+    from loganalyzer_spark.operators.web import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, i % 4 == 0, f"tok{i % 7} tok{i % 3} tok{i % 5}") for i in range(60)],
+        "doc_id long, is_target boolean, text string",
+    )
+    for _ in range(3):
+        assert dsir_weights(docs, buckets=32).count() == 60
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() <= 1
+
+
 def test_passthrough_operators_preserve_caller_temp_columns(spark):
     """Operators that add-then-drop internal scratch columns must not
     clobber caller columns that happen to share the scratch name
