@@ -1715,10 +1715,12 @@ def test_dsir_cache_bounded_to_one_entry(spark):
         [(i, i % 4 == 0, f"tok{i % 7} tok{i % 3} tok{i % 5}") for i in range(60)],
         "doc_id long, is_target boolean, text string",
     )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()  # shared test session may
+    # already hold unrelated cached RDDs; assert the DELTA is bounded.
     for _ in range(3):
         assert dsir_weights(docs, buckets=32).count() == 60
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() <= 1
+    assert jsc.getPersistentRDDs().size() <= before + 1
 
 
 def test_passthrough_operators_preserve_caller_temp_columns(spark):
