@@ -53,12 +53,14 @@ def salted_event_counts(lines: DataFrame, salt: int = 16) -> DataFrame:
     return partial.groupBy("event_id").agg(F.sum("c").alias("occurrences"))
 
 
-def ecm_pivot(ecm_flat: DataFrame, vocab: DataFrame) -> DataFrame:
+def ecm_pivot(ecm_flat: DataFrame) -> DataFrame:
     """Wide ECM: one row per (sink_class, bucket), counts as a map.
 
     A map keyed by event_id (not a 2000-column pivot) keeps the plan
     narrow at template-library scale (SURVEY.md §7 hard parts); the
     dense vector form for model scoring is built by ``ecm_vectors``.
+    Entries are sorted by event_id (map_from_entries preserves the
+    sorted insertion order), so the map renders deterministically.
     """
     return ecm_flat.groupBy("sink_class", "bucket_start").agg(
         F.map_from_entries(
@@ -132,15 +134,27 @@ def tfidf(ecm_flat: DataFrame, doc_keys: list[str]) -> DataFrame:
     idf = log(N / (df + 1e-8)), x = cnt * idf.
 
     df per event = number of "documents" (windows/samples) containing
-    it; N = total documents. Both sides are aggregates of the input —
-    one broadcast join, no second scan of the fact table.
+    it; N = total documents. N is folded into the idf dim as a 1-row
+    cross-joined aggregate — an eager ``.count()`` here would execute
+    the whole upstream lineage at BUILD time (and once more per
+    aggregate side), outside any timed/planned window. The input
+    lineage still backs three subtrees (N, df, and the fact side of
+    the broadcast join); when ecm_flat is an expensive pipeline
+    product, cache it at the call site — the operator does not own
+    that lifecycle.
     """
-    n_docs = ecm_flat.select(*doc_keys).distinct().count()
+    n_row = (
+        ecm_flat.select(*doc_keys)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    )
     df_vec = ecm_flat.groupBy("event_id").agg(
         F.countDistinct(*doc_keys).alias("df")
     )
-    idf = df_vec.withColumn(
-        "idf", F.log(F.lit(float(n_docs)) / (F.col("df") + F.lit(1e-8)))
+    idf = (
+        df_vec.crossJoin(F.broadcast(n_row))
+        .withColumn("idf", F.log(F.col("_n_docs") / (F.col("df") + F.lit(1e-8))))
+        .drop("_n_docs")
     )
     return ecm_flat.join(F.broadcast(idf), "event_id").withColumn(
         "tfidf", F.col("cnt") * F.col("idf")

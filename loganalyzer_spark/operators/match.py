@@ -17,9 +17,14 @@ the most similar cluster (``fast_match`` ``drain.py:474-505``). Here:
                       event_id = md5(masked)[:8] (drain.py:732, 962-966).
 
 Candidate preference on multi-match mirrors fast_match's tie-break
-(max similarity, then max parameter count, drain.py:494-505): templates
-whose anchored token-regex fully matches have similarity 1.0, so
-ordering by (para_count desc, event_id) is exact.
+(max similarity, then max parameter count, drain.py:494-505): a full
+token-match of a template with ANY literal token has similarity exactly
+1.0 (every non-wildcard position equal), so those order by
+(para_count desc, event_id). The one exception is the all-wildcard
+template: seq_dist scores it 0.0 (const_num == 0, drain.py:458-462),
+NOT 1.0 — it must lose to every literal-containing full match despite
+having the most parameters, so it sorts last (the ``all_wild`` leading
+sort key in ``_cands_dim``).
 """
 
 from __future__ import annotations
@@ -36,8 +41,17 @@ def _cands_dim(templates: DataFrame, wildcard: bool) -> DataFrame:
     equality with '<*>' wildcards — plain string comparisons inside
     whole-stage codegen, ~10× cheaper than per-row regex compilation.
     """
-    t = templates.withColumn("neg_para", -F.col("para_count")).withColumn(
-        "toks", F.split("event_template", " ")
+    t = (
+        templates.withColumn("neg_para", -F.col("para_count"))
+        .withColumn("toks", F.split("event_template", " "))
+        # all-wildcard templates score sim 0.0 in the reference's
+        # seq_dist (const_num == 0), not the 1.0 of every other full
+        # token-match — max-sim-first means they sort LAST, before the
+        # para tie-break applies (module docstring).
+        .withColumn(
+            "all_wild",
+            (F.col("para_count") == F.col("token_count")).cast("int"),
+        )
     )
     keys = ["token_count"] if wildcard else ["token_count", "first_token"]
     if wildcard:
@@ -47,7 +61,9 @@ def _cands_dim(templates: DataFrame, wildcard: bool) -> DataFrame:
     return t.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(
-                F.struct("neg_para", "event_id", "toks", "event_template")
+                F.struct(
+                    "all_wild", "neg_para", "event_id", "toks", "event_template"
+                )
             )
         ).alias("cands")
     )
@@ -127,8 +143,6 @@ def extract_params(df: DataFrame, masked: str = "masked") -> DataFrame:
 # General similarity matcher (D2/D3): the reference's seq_dist semantics
 # ---------------------------------------------------------------------------
 
-import re  # noqa: E402
-
 import pandas as pd  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
@@ -155,14 +169,13 @@ def seq_dist(tmplt: list[str], log: list[str],
     for t1, t2 in zip(tmplt, log):
         if first:
             first = False
+            # note: reference rejects on first-token inequality even
+            # vs '<*>' only when tokens differ (drain.py:395-399);
+            # '<*>' == '<*>' passes, literal-vs-'<*>' template first
+            # token is handled by the wildcard tree layer.
             if t1 != t2 and t1 != "<*>":
-                # note: reference rejects on first-token inequality even
-                # vs '<*>' only when tokens differ (drain.py:395-399);
-                # '<*>' == '<*>' passes, literal-vs-'<*>' template first
-                # token is handled by the wildcard tree layer.
-                if t1 != "<*>":
-                    stop = True
-                    break
+                stop = True
+                break
         if t1 == "<*>":
             if last_same or last_para:
                 para_num += 1

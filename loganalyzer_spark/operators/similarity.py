@@ -45,16 +45,22 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank). Ties broken by
     neighbor id for determinism.
     """
+    # Norms are precomputed per input row BEFORE the join: inlined in
+    # the per-pair cosine they would re-run the O(dim) aggregate() HOF
+    # N×Q times per side instead of once per row (the expensive-
+    # producer-in-single-consumer-column rule applied across a join).
     q = queries.select(
         F.col(key).alias("query_id"), F.col(vec).alias("qvec")
-    )
-    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cvec"))
+    ).withColumn("qn", _norm("qvec"))
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"), F.col(vec).alias("cvec")
+    ).withColumn("cn", _norm("cvec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec")),
+            _dot("qvec", "cvec") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -119,17 +125,17 @@ def cosine_topk_lsh(
         F.col(key).alias("neighbor_id"),
         F.col(vec).alias("cvec"),
         hyperplane_sign_bits(vec, planes).alias("bucket"),
-    )
+    ).withColumn("cn", _norm("cvec"))
     q = queries.select(
         F.col(key).alias("query_id"),
         F.col(vec).alias("qvec"),
         hyperplane_sign_bits(vec, planes).alias("bucket"),
-    )
+    ).withColumn("qn", _norm("qvec"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))
+            "cosine", _dot("qvec", "cvec") / (F.col("qn") * F.col("cn"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -178,7 +184,12 @@ def kmeans_centroids(
     """
     pdf = emb.select(key, vec).orderBy(key).limit(sample_rows).toPandas()
     X = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # Guard zero vectors like _cell_assign_udf does: one all-zero
+    # embedding in the sample would otherwise turn its row NaN, poison
+    # whichever centroid argmax sends it to, and freeze that cell.
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     for _ in range(iters):
@@ -234,7 +245,7 @@ def cosine_topk_ivf(
     """
     spark = corpus.sparkSession
     if centroids is None:
-        centroids = kmeans_centroids(corpus, k=n_cells, vec=vec)
+        centroids = kmeans_centroids(corpus, k=n_cells, vec=vec, key=key)
     assign1 = _cell_assign_udf(spark, centroids, 1)
     assignp = _cell_assign_udf(spark, centroids, nprobe)
 
@@ -242,25 +253,34 @@ def cosine_topk_ivf(
         F.col(key).alias("neighbor_id"),
         F.col(vec).alias("cvec"),
         F.element_at(assign1(F.col(vec)), 1).alias("cell"),
-    )
-    q = queries.select(
-        F.col(key).alias("query_id"),
-        F.col(vec).alias("qvec"),
-        F.explode(assignp(F.col(vec))).alias("cell"),
+    ).withColumn("cn", _norm("cvec"))
+    q = (
+        queries.select(
+            F.col(key).alias("query_id"),
+            F.col(vec).alias("qvec"),
+            assignp(F.col(vec)).alias("cells"),
+        )
+        .withColumn("qn", _norm("qvec"))  # before the explode: once per query
+        .withColumn("cell", F.explode("cells"))
+        .drop("cells")
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", _dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))
+            "cosine", _dot("qvec", "cvec") / (F.col("qn") * F.col("cn"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    # No dedup needed before ranking: a corpus row lives in exactly ONE
+    # cell (element_at(assign1, 1)) and a query's nprobe probed cells
+    # are distinct argsort indices, so the equi-join emits each
+    # (query_id, neighbor_id) pair at most once — a dropDuplicates here
+    # was a pure extra hash exchange over every scored pair.
     return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

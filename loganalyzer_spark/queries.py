@@ -139,6 +139,11 @@ _DEMOTED = [
                                     # the one distinct r4 operator with zero
                                     # driver corroboration (VERDICT r4 item 2)
                                     # — lands inside the 50-row driver window.
+    "ecm_pivot_wide",               # A12 wide-map presentation of the SAME
+                                    # aggregate certified in-window by
+                                    # pipeline_sink_ecm; exact-hash oracle in
+                                    # the local gate covers the map column's
+                                    # content + entry order
     "bucketed_fact_join",           # the claim under test is the layout (zero
                                     # shuffle exchange), ASSERTED inside the
                                     # callable on every local-gate run; the
@@ -297,6 +302,39 @@ def pipeline_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_sink_ecm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 flagship: exact per-sink (warc_ts bucket × event_id) counts."""
     return A.sink_ecm(_routed(spark, sf_dir), "1 minute")
+
+
+@register(
+    "ecm_pivot_wide",
+    _pipe_cte()
+    + """SELECT sink_class, bucket_start,
+               CAST(row_number() OVER (
+                   PARTITION BY sink_class, bucket_start ORDER BY event_id
+               ) - 1 AS BIGINT) AS pos,
+               event_id, cnt
+        FROM (SELECT sink_class,
+                     time_bucket(INTERVAL '1 minute', warc_ts) AS bucket_start,
+                     event_id, count(*) AS cnt
+              FROM _routed GROUP BY 1, 2, 3) _ecm""",
+)
+def ecm_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 wide form: ``ecm_pivot``'s per-(sink, bucket) event→count
+    MAP column, verified entry-by-entry — posexplode re-flattens the
+    map so the oracle checks both the contents and the sorted entry
+    order the map contract promises (map_from_entries over a
+    sort_array preserves insertion order)."""
+    wide = A.ecm_pivot(A.sink_ecm(_routed(spark, sf_dir), "1 minute"))
+    return wide.select(
+        "sink_class",
+        "bucket_start",
+        F.posexplode("counts"),
+    ).select(
+        "sink_class",
+        "bucket_start",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("key").alias("event_id"),
+        F.col("value").alias("cnt"),
+    )
 
 
 @register(

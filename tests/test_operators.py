@@ -361,6 +361,42 @@ def test_similarity_matcher_agrees_with_fast_path(spark):
     assert slow.exceptAll(fast).count() == 0
 
 
+def test_match_all_wildcard_template_loses_to_literal(spark):
+    """fast_match tie-break edge (drain.py:458-462, 494-505): an
+    all-wildcard template scores seq_dist 0.0 (const_num == 0), so a
+    fully-matching wildcard-first template WITH a literal (sim 1.0)
+    must win despite having fewer parameters. The JVM array-filter path
+    ordered by para_count alone would wrongly prefer '<*> <*>'; both
+    paths must pick '<*> b' and agree with each other."""
+    from loganalyzer_spark.operators import match as M
+
+    tmpl = spark.createDataFrame(
+        [
+            ("allwild0", "<*> <*>", 2, "<*>", 2),
+            ("literal1", "<*> b", 2, "<*>", 1),
+        ],
+        "event_id string, event_template string, token_count int, "
+        "first_token string, para_count int",
+    )
+    lines = spark.createDataFrame(
+        [(1, 1, "x b"), (1, 2, "x y")],
+        "doc_id long, line_no long, masked string",
+    )
+    fast = {
+        r["line_no"]: r["event_id"]
+        for r in M.match_templates(lines, tmpl).collect()
+    }
+    slow = {
+        r["line_no"]: r["event_id"]
+        for r in M.match_similarity(lines, tmpl).collect()
+    }
+    # 'x b' full-matches both candidates: the literal-bearing template
+    # wins on sim. 'x y' full-matches only the all-wildcard template
+    # (accepted: threshold 0.6*(2-2)/2 = 0, sim 0 >= 0).
+    assert fast == {1: "literal1", 2: "allwild0"}
+    assert slow == fast
+
+
 def test_embedding_near_dups_lsh_recall(spark):
     """LSH-blocked near-dup: precision 1.0 by construction (exact verify
     predicate); recall on planted near-identical pairs must be 1.0 —
