@@ -222,12 +222,24 @@ def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text",
 
 
 def simhash_near_pairs(
-    fps: DataFrame, key: str = "doc_id", max_hamming: int = 3
+    fps: DataFrame, key: str = "doc_id", max_hamming: int = 3,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash fingerprints.
 
     Scale path: block on fingerprint quarters (a pair within distance d
     must agree on ≥1 of d+1 blocks) then verify with bit_count(xor).
+
+    ``bucket_cap`` bounds mass-duplicate quadratic blowup exactly as in
+    :func:`lsh_candidate_pairs` / :func:`embedding_near_dups_lsh`:
+    m identical documents share EVERY block (identical fingerprints),
+    so an uncapped self-join emits m²·(d+1)/2 pairs. Blocks with ≤ cap
+    members run the exact all-pairs join; oversized blocks emit only
+    the O(m) star to the block's smallest member. Star pairs still pass
+    the exact bit_count verify, so precision stays 1.0; recall inside
+    an oversized block degrades from all-pairs to cluster-connectivity
+    (the downstream survivors/connected-components pass still resolves
+    the whole cluster).
     """
     nblocks = max_hamming + 1
     blocked = fps.select(
@@ -244,18 +256,39 @@ def simhash_near_pairs(
             )
         ).alias("block_id", "block_val"),
     )
-    other = blocked.select(
-        F.col("k").alias("k2"), F.col("fp").alias("fp2"),
-        "block_id", F.col("block_val").alias("block_val2"),
+    bw = Window.partitionBy("block_id", "block_val")
+    blocked = blocked.withColumn("_bn", F.count(F.lit(1)).over(bw)).withColumn(
+        "_rep", F.min("k").over(bw)
+    )
+    small = blocked.filter(F.col("_bn") <= bucket_cap)
+    left = small.select(F.col("k").alias("a"), F.col("fp"), "block_id", "block_val")
+    right = small.select(
+        F.col("k").alias("b"), F.col("fp").alias("fp2"), "block_id", "block_val"
+    )
+    exact = (
+        left.join(right, ["block_id", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "fp", "b", "fp2")
+    )
+    # Oversized blocks: star to the block min; re-attach the rep's
+    # fingerprint via the (tiny) distinct-rep dim so the exact Hamming
+    # verify below still runs on every emitted pair.
+    big = blocked.filter((F.col("_bn") > bucket_cap) & (F.col("k") > F.col("_rep")))
+    reps = (
+        blocked.filter(F.col("_bn") > bucket_cap)
+        .filter(F.col("k") == F.col("_rep"))
+        .select("block_id", "block_val", F.col("fp"))
+        .dropDuplicates(["block_id", "block_val"])
+    )
+    star = big.join(F.broadcast(reps.withColumnRenamed("fp", "_repfp")),
+                    ["block_id", "block_val"]).select(
+        F.col("_rep").alias("a"),
+        F.col("_repfp").alias("fp"),
+        F.col("k").alias("b"),
+        F.col("fp").alias("fp2"),
     )
     return (
-        blocked.join(
-            other,
-            (blocked.block_id == other.block_id)
-            & (blocked.block_val == other.block_val2)
-            & (blocked.k < other.k2),
-        )
-        .select(F.col("k").alias("a"), F.col("k2").alias("b"), "fp", "fp2")
+        exact.unionByName(star)
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("fp").bitwiseXOR(F.col("fp2"))))
         .filter(F.col("hamming") <= max_hamming)

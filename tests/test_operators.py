@@ -163,6 +163,53 @@ def test_embedding_lsh_bucket_cap_mass_duplicates(spark):
     assert all(r["cosine"] == 1.0 for r in rows)
 
 
+def test_simhash_blocked_pairs_and_bucket_cap(spark):
+    """simhash_near_pairs: (1) the blocked join finds the pairs the
+    exact all-pairs Hamming check would (precision 1.0 — every emitted
+    pair is bit_count-verified); (2) a planted mass-duplicate cluster
+    (identical fingerprints share EVERY block) emits the O(m) star, not
+    the m²·(d+1)/2 all-pairs blowup — the same guard the other two LSH
+    joins carry (VERDICT r4 item 3)."""
+    from loganalyzer_spark.operators import dedup as DD
+
+    # (1) correctness on distinct content: two near-identical docs and
+    # one far one. Near pair must surface with the right Hamming value.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different words appear in this sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = DD.simhash(docs)
+    fpv = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    expect = {
+        (a, b): ham(fpv[a], fpv[b])
+        for a in fpv
+        for b in fpv
+        if a < b and ham(fpv[a], fpv[b]) <= 3
+    }
+    got = {(r["a"], r["b"]): r["hamming"] for r in
+           DD.simhash_near_pairs(fps).collect()}
+    # blocked recall: any pair within d agrees on >= 1 of d+1 blocks,
+    # so the blocked join finds EXACTLY the exact-check pairs here
+    assert got == expect
+
+    # (2) planted mass-duplicate cluster: 2k identical docs -> identical
+    # fingerprints -> every block shared. Capped join must emit the star.
+    n = 2_000
+    boiler = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("mirrored boilerplate footer on every page").alias("text"),
+    )
+    pairs = DD.simhash_near_pairs(DD.simhash(boiler), bucket_cap=64)
+    rows = pairs.collect()
+    assert {(r["a"], r["b"]) for r in rows} == {(0, i) for i in range(1, n)}
+    assert all(r["hamming"] == 0 for r in rows)
+
+
 def test_simhash_close_for_near_dups(spark):
     from loganalyzer_spark.operators.dedup import simhash
 
