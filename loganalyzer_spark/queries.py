@@ -52,6 +52,12 @@ _DEMOTED = [
     "nested_fold_narrow",           # ≡ nested_fold (zero-shuffle form)
     "sessionize_events",            # ≡ session_window_stats (manual form)
     "minhash_signatures",           # certified inside minhash_lsh_near_dups
+    "simhash_near_pairs",           # blocked-Hamming join over the in-window
+                                    # simhash_fingerprints; exact-hash oracle
+                                    # (incl. the bucket-cap star rule) in the
+                                    # local gate — the banded-join SHAPE is
+                                    # certified in-window by
+                                    # minhash_lsh_near_dups
     "ngram_jaccard_twins",          # jaccard verify exercised by LSH query
     "embedding_near_dups",          # brute baseline; LSH query is the scale path
     "embedding_cosine_topk",        # brute baseline; IVF query same oracle
@@ -1233,6 +1239,58 @@ FROM _bits GROUP BY doc_id
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (distinct-token, unweighted)."""
     return DD.simhash(_docs2_spark(spark, sf_dir), bits=32)
+
+
+@register(
+    "simhash_near_pairs",
+    "WITH " + _DOCS2_SQL.strip() + """,
+_tokd AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+          FROM _docs2),
+_th AS (SELECT doc_id, """ + _H60.format("tok") + """ AS h FROM _tokd),
+_fbits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN (1::BIGINT << b) ELSE 0 END AS term
+  FROM _th, unnest(generate_series(0, 31)) AS t(b)
+  GROUP BY doc_id, b
+),
+_fp AS (SELECT doc_id, cast(sum(term) AS BIGINT) AS fp FROM _fbits GROUP BY doc_id),
+_blk AS (
+  SELECT doc_id, fp, b AS block_id, (fp >> (8 * b)) & 255 AS block_val
+  FROM _fp, unnest(generate_series(0, 3)) AS t(b)
+),
+_bb AS (
+  SELECT doc_id, block_id, block_val,
+         count(*)    OVER (PARTITION BY block_id, block_val) AS bn,
+         min(doc_id) OVER (PARTITION BY block_id, block_val) AS rep
+  FROM _blk
+),
+_cand AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM _bb x JOIN _bb y
+      ON x.block_id = y.block_id AND x.block_val = y.block_val
+     AND x.doc_id < y.doc_id
+    WHERE x.bn <= 256
+    UNION ALL
+    SELECT rep AS a, doc_id AS b
+    FROM _bb WHERE bn > 256 AND doc_id > rep
+  )
+)
+SELECT c.a, c.b, cast(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+FROM _cand c
+JOIN _fp fa ON fa.doc_id = c.a
+JOIN _fp fb ON fb.doc_id = c.b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+""",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash blocked-Hamming near-dup pairs (block on fingerprint
+    quarters, bit_count(xor) verify ≤ 3, bucket-capped star for
+    mass-duplicate blocks — the oracle replicates the cap rule
+    exactly, like the MinHash LSH oracle)."""
+    fps = DD.simhash(_docs2_spark(spark, sf_dir), bits=32)
+    return DD.simhash_near_pairs(fps, max_hamming=3, bucket_cap=256)
 
 
 # 14 words, lowercase, single-spaced: the planted cross-document
