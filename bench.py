@@ -83,6 +83,28 @@ def _host_mem_probe_mb_s() -> float:
     return round(200.0 / dt, 1)
 
 
+def _warm_host(target_mb_s: float = 500.0, budget_s: float = 90.0) -> tuple[float, float]:
+    """Wait out a degraded first-touch phase before timing anything.
+
+    The 16g pre-touched driver heap faults ~16 GB at JVM startup; on
+    this free-page-reporting VM that reliably leaves the host's paging
+    path degraded for the next minute or two (observed start probes of
+    95-218 MB/s in three consecutive runs, healing to >2 GB/s by run
+    end — so early-timed queries eat the degraded phase while late ones
+    run clean). Each probe itself touches 200 MB of fresh pages, which
+    is what drives the recovery; loop until the probe reads healthy or
+    the budget runs out. This automates the CLAUDE.md protocol ("if
+    below ~500 MB/s the numbers measure the host — wait and re-run")
+    instead of publishing a degraded round. Returns
+    (final_probe_mb_s, seconds_waited)."""
+    t0 = time.time()
+    p = _host_mem_probe_mb_s()
+    while p < target_mb_s and time.time() - t0 < budget_s:
+        time.sleep(2.0)
+        p = _host_mem_probe_mb_s()
+    return p, round(time.time() - t0, 1)
+
+
 def _gated_runs(
     fn, reps: int = 3, action=_run_count
 ) -> tuple[float, int, list[float], list[float], bool]:
@@ -110,6 +132,10 @@ def _gated_runs(
     probes: list[float] = []
     n = 0
     for attempt in range(2):
+        if attempt > 0:
+            # the retry round exists to catch a CLEAN window — touching
+            # pages is what heals the host, so warm instead of hoping
+            _warm_host(budget_s=30.0)
         for _ in range(reps):
             s = SparkSession.getActiveSession()
             if s is not None:
@@ -119,7 +145,11 @@ def _gated_runs(
             n = action(df)
             walls.append(time.time() - t0)
             probes.append(_host_mem_probe_mb_s())
-        if max(probes) >= 500.0:
+        # retry unless the round ran CLEAN end-to-end: a single healthy
+        # probe does not certify its neighbours (the hazard strikes
+        # mid-run), and the retry round is cheap next to publishing a
+        # host-degraded wall
+        if all(p >= 500.0 for p in probes[-reps:]):
             break
     healthy = all(p >= 500.0 for p in probes)
     wall = sorted(walls)[len(walls) // 2] if healthy else min(walls)
@@ -137,7 +167,7 @@ def main() -> None:
     from loganalyzer_spark.session import get_spark
 
     spark = get_spark(app="loganalyzer_spark_bench")
-    probe_start = _host_mem_probe_mb_s()
+    probe_start, warm_wait_s = _warm_host()
 
     registry = qmod.queries()
     timings: dict[str, float] = {}
@@ -206,7 +236,7 @@ def main() -> None:
             e2e_probes.append(_host_mem_probe_mb_s())
         if max(e2e_probes) >= 500.0:
             break
-        time.sleep(60.0)  # hazard swings within minutes; one retry round
+        _warm_host(budget_s=60.0)  # hazard swings within minutes; one retry round
     healthy = all(p >= 500.0 for p in e2e_probes[-3:])
     e2e = sorted(e2e_walls)[len(e2e_walls) // 2] if healthy else min(e2e_walls)
     timings["pipeline_e2e"] = round(e2e, 3)
@@ -245,6 +275,7 @@ def main() -> None:
         # headline health field is the conservative min of the two.
         "host_first_touch_mb_s": min(probe_start, probe_end := _host_mem_probe_mb_s()),
         "host_first_touch_mb_s_start": probe_start,
+        "host_warm_wait_s": warm_wait_s,
         "host_first_touch_mb_s_end": probe_end,
         "e2e_run_walls_sec": [round(w, 3) for w in e2e_walls],
         "e2e_run_probes_mb_s": e2e_probes,
