@@ -89,6 +89,10 @@ _DEMOTED = [
                                     # pytest-pinned
     "loglab_kfold_validate",        # no_oracle (driver-side k-fold CV,
                                     # loglab.py:662-671 parity)
+    "gnb_svm_train_score",          # no_oracle (driver-side GNB/PTN/SVM
+                                    # training, loglizer.py:431-441,
+                                    # 456-459; estimator parity is
+                                    # pytest-pinned)
     "dup_components",               # iterative Spark impl; now carries an
                                     # exact recursive-CTE oracle (hash-checked
                                     # by the local gate); window slots go to
@@ -1746,6 +1750,32 @@ def dt_rfc_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SC.train_dt_and_score(spark, vec)
     return out.select(
         "doc_id", "label", "dt_score", "dt_pred", "rfc_score", "rfc_pred"
+    ).orderBy("doc_id")
+
+
+@register("gnb_svm_train_score", None)  # driver-side training → rows-only
+def gnb_svm_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNB + Perceptron + linear-SVM rows of the reference model zoo
+    TRAINED, not synthesized (loglizer.py:431-432 GaussianNB, :434-437
+    SGDClassifier(loss='perceptron'/'hinge'), :456-459 LinearSVC):
+    closed-form Gaussian stats and deterministic margin-SGD fit
+    driver-side on the collected per-doc ECM (sklearn absent, so the
+    estimator cores are scoring.train_gnb / train_perceptron /
+    train_linear_svm), then the corpus is scored through the existing
+    JVM kernels (gnb_score_expr quadratic log-odds, svm_margin_expr) —
+    zero Python in the scoring path. Rows-only like logreg_train_score
+    (driver-side training has no SQL oracle); estimator parity is
+    pinned by tests/test_operators.py::test_train_gnb_* and
+    test_margin_sgd_*."""
+    routed = _routed(spark, sf_dir)
+    labels = routed.groupBy("doc_id").agg(F.max("is_abn").alias("label"))
+    vec = _doc_vectors(spark, sf_dir).join(labels, "doc_id")
+    out = SC.train_zoo_and_score(spark, vec)
+    return out.select(
+        "doc_id", "label",
+        "gnb_logodds", "gnb_pred",
+        "ptn_margin", "ptn_pred",
+        "svm_margin", "svm_pred",
     ).orderBy("doc_id")
 
 

@@ -495,6 +495,129 @@ def train_dt_and_score(
 
 
 # ---------------------------------------------------------------------------
+# GNB / Perceptron / linear-SVM training — the remaining rows of the
+# reference's model zoo (loglizer.py:431-441 trains GaussianNB,
+# SGDClassifier(loss='perceptron') and SGDClassifier(loss='hinge');
+# :456-459 svm.LinearSVC). sklearn is absent, so each estimator core is
+# implemented directly like IncrementalLogReg/train_cart above; scoring
+# flows through the existing zero-Python kernels (gnb_score_expr,
+# svm_margin_expr).
+# ---------------------------------------------------------------------------
+
+def train_gnb(
+    X: np.ndarray, y: np.ndarray, var_smoothing: float = 1e-9
+) -> tuple[list[float], list[float], list[float], list[float], float]:
+    """GaussianNB.fit parity (loglizer.py:431-432): per-class feature
+    mean/variance + class-1 prior, variances smoothed by
+    ``var_smoothing * max feature variance`` (sklearn's exact rule).
+    Closed-form — deterministic by construction. Returns
+    (mu0, var0, mu1, var1, p1) in gnb_coefficients' layout."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    eps = var_smoothing * float(np.var(X, axis=0).max())
+    stats = []
+    for cls in (0.0, 1.0):
+        Xi = X[y == cls]
+        stats.append((Xi.mean(axis=0), Xi.var(axis=0) + eps))
+    (mu0, var0), (mu1, var1) = stats
+    p1 = float((y == 1.0).mean())
+    return mu0.tolist(), var0.tolist(), mu1.tolist(), var1.tolist(), p1
+
+
+def _sgd_margin_train(
+    X: np.ndarray,
+    y: np.ndarray,
+    margin: float,
+    iters: int = 1000,
+    lr: float = 0.01,
+) -> tuple[np.ndarray, float]:
+    """Shared SGD core for the margin family: per-sample update
+    ``w += lr·t·x`` whenever ``t·(w·x+b) <= margin`` with t = ±1.
+    margin=0 is the perceptron rule (SGDClassifier(loss='perceptron'),
+    loglizer.py:434-435); margin=1 is the hinge subgradient
+    (loss='hinge' / LinearSVC's loss, loglizer.py:436-437,456-459 —
+    the deterministic subset: batch row order, no shuffle, constant
+    learning rate, no regularization term). Zero init, fixed epoch
+    count — bit-reproducible on an ordered slice."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    t = 2.0 * y - 1.0
+    w = np.zeros(X.shape[1], dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        updated = False
+        for xi, ti in zip(X, t):
+            if ti * (float(xi @ w) + b) <= margin:
+                w += lr * ti * xi
+                b += lr * ti
+                updated = True
+        if not updated and margin == 0.0:
+            break  # perceptron converged: separable, no further change
+    return w, b
+
+
+def train_perceptron(
+    X: np.ndarray, y: np.ndarray, iters: int = 1000, lr: float = 0.01
+) -> tuple[np.ndarray, float]:
+    return _sgd_margin_train(X, y, margin=0.0, iters=iters, lr=lr)
+
+
+def train_linear_svm(
+    X: np.ndarray, y: np.ndarray, iters: int = 100, lr: float = 0.01
+) -> tuple[np.ndarray, float]:
+    return _sgd_margin_train(X, y, margin=1.0, iters=iters, lr=lr)
+
+
+def train_zoo_and_score(
+    spark: SparkSession,
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "vec",
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """Train the GNB / PTN / SVM rows of the zoo on the collected ECM
+    and score the corpus through the existing JVM kernels — zero Python
+    in the scoring path (gnb log-odds via gnb_score_expr, both margins
+    via svm_margin_expr). Adds gnb_logodds/gnb_pred, ptn_margin/
+    ptn_pred, svm_margin/svm_pred. The training slice is ordered on
+    doc_id before limit (the same determinism rule as
+    train_and_score/train_dt_and_score)."""
+    train = (
+        vectors.select("doc_id", vec_col, label_col)
+        .orderBy("doc_id")
+        .limit(max_train_rows)
+        .toPandas()
+    )
+    X = np.vstack(train[vec_col].to_numpy())
+    y = train[label_col].to_numpy()
+    mu0, var0, mu1, var1, p1 = train_gnb(X, y)
+    # degenerate priors (single-class slice) have no log-odds; the
+    # reference would raise inside GaussianNB the same way
+    if p1 in (0.0, 1.0):
+        raise ValueError("train_zoo_and_score needs both classes present")
+    a, bq, c0 = gnb_coefficients(mu0, var0, mu1, var1, p1)
+    w_p, b_p = train_perceptron(X, y)
+    w_s, b_s = train_linear_svm(X, y)
+    out = (
+        vectors.withColumn(
+            "gnb_logodds", F.round(gnb_score_expr(vec_col, a, bq, c0), 6)
+        )
+        .withColumn("gnb_pred", (F.col("gnb_logodds") > 0).cast("int"))
+        .withColumn(
+            "ptn_margin",
+            F.round(svm_margin_expr(vec_col, w_p.tolist(), b_p), 6),
+        )
+        .withColumn("ptn_pred", (F.col("ptn_margin") > 0).cast("int"))
+        .withColumn(
+            "svm_margin",
+            F.round(svm_margin_expr(vec_col, w_s.tolist(), b_s), 6),
+        )
+        .withColumn("svm_pred", (F.col("svm_margin") > 0).cast("int"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Fixed-weight kernels (deterministic, DuckDB-oracle-checkable)
 # ---------------------------------------------------------------------------
 

@@ -1936,3 +1936,87 @@ def test_cart_and_forest_expr_parity(spark):
     # determinism: retraining yields the identical structures
     assert train_cart(X, y, max_depth=4) == tree
     assert train_random_forest(X, y, n_trees=5, max_depth=3) == forest
+
+
+def test_train_gnb_hand_stats_and_expr_parity(spark):
+    """train_gnb reproduces hand-computed per-class Gaussian stats
+    (sklearn's GaussianNB.fit rule incl. var_smoothing), and the
+    compiled quadratic log-odds expression classifies the training
+    points the way the numpy form does."""
+    import numpy as np
+
+    from loganalyzer_spark.scoring import (
+        gnb_coefficients,
+        gnb_score_expr,
+        train_gnb,
+    )
+
+    X = np.array([[0.0, 1.0], [1.0, 1.0], [4.0, 5.0], [5.0, 7.0]])
+    y = np.array([0.0, 0.0, 1.0, 1.0])
+    mu0, var0, mu1, var1, p1 = train_gnb(X, y)
+    eps = 1e-9 * float(np.var(X, axis=0).max())
+    assert mu0 == [0.5, 1.0] and mu1 == [4.5, 6.0]
+    assert abs(var0[0] - (0.25 + eps)) < 1e-15
+    assert abs(var0[1] - eps) < 1e-15  # constant feature in class 0
+    assert abs(var1[1] - (1.0 + eps)) < 1e-15
+    assert p1 == 0.5
+
+    a, b, c0 = gnb_coefficients(mu0, var0, mu1, var1, p1)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "i int, vec array<double>",
+    )
+    got = (
+        df.select("i", gnb_score_expr("vec", a, b, c0).alias("lo"))
+        .orderBy("i")
+        .collect()
+    )
+    # log-odds sign must reproduce the labels on this separable set
+    for r in got:
+        assert (r["lo"] > 0) == bool(y[r["i"]])
+
+
+def test_margin_sgd_perceptron_and_svm(spark):
+    """The deterministic margin-SGD core: the perceptron (margin 0)
+    separates a linearly-separable set and stops once converged; the
+    hinge fit (margin 1) pushes points outside the unit margin; both
+    are bit-reproducible, and the broadcast svm_margin_expr scores
+    exactly like the numpy margins."""
+    import numpy as np
+
+    from loganalyzer_spark.scoring import (
+        svm_margin_expr,
+        train_linear_svm,
+        train_perceptron,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    X = np.round(rng.normal(size=(60, 3)), 3)
+    y = (X @ np.array([1.0, -2.0, 0.5]) > 0).astype(np.float64)
+    w, b = train_perceptron(X, y)
+    t = 2 * y - 1
+    assert ((t * (X @ w + b)) > 0).all()  # converged: all correct
+    # determinism
+    w2, b2 = train_perceptron(X, y)
+    assert (w2 == w).all() and b2 == b
+
+    ws, bs = train_linear_svm(X, y, iters=200)
+    acc = float((((X @ ws + bs) > 0) == (y > 0.5)).mean())
+    assert acc >= 0.95
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "i int, vec array<double>",
+    )
+    got = (
+        df.select(
+            "i",
+            F.round(svm_margin_expr("vec", ws.tolist(), bs), 6).alias("m"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    margins = np.round(X @ ws + bs, 6)
+    for r in got:
+        assert abs(r["m"] - margins[r["i"]]) <= 2e-6
