@@ -2020,3 +2020,60 @@ def test_margin_sgd_perceptron_and_svm(spark):
     margins = np.round(X @ ws + bs, 6)
     for r in got:
         assert abs(r["m"] - margins[r["i"]]) <= 2e-6
+
+
+def test_margin_sgd_properties_hypothesis():
+    """Property test (no Spark): on ANY linearly-separable labeled set,
+    the perceptron trainer converges to zero training errors and is
+    bit-reproducible; train_gnb's variances are always >= the smoothing
+    floor so gnb_coefficients never divides by zero."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from loganalyzer_spark.scoring import (
+        gnb_coefficients,
+        train_gnb,
+        train_perceptron,
+    )
+
+    feat = st.floats(-5.0, 5.0, allow_nan=False, width=32)
+    rows = st.lists(
+        st.tuples(feat, feat, feat), min_size=6, max_size=40
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows)
+    def check(pts):
+        X = np.round(np.array(pts, dtype=np.float64), 3)
+        # label by a fixed separator with a margin: drop points too
+        # close to the plane so the set is STRICTLY separable
+        score = X @ np.array([1.0, -1.5, 0.5]) + 0.25
+        keep = np.abs(score) > 0.05
+        X, score = X[keep], score[keep]
+        y = (score > 0).astype(np.float64)
+        if len(y) < 2:
+            return
+        # iters sized to the perceptron mistake bound (R/gamma)^2 for
+        # this domain (R <= ~8.7, gamma >= 0.05/|w*|): 1e5 updates
+        # covers it; convergence early-stops long before on typical
+        # draws, so the test stays fast
+        w, b = train_perceptron(X, y, iters=4000)
+        t = 2 * y - 1
+        assert ((t * (X @ w + b)) > 0).all()
+        w2, b2 = train_perceptron(X, y, iters=4000)
+        assert (w2 == w).all() and b2 == b
+        if 0.0 < y.mean() < 1.0:
+            mu0, var0, mu1, var1, p1 = train_gnb(X, y)
+            assert all(v > 0 for v in var0 + var1) or (
+                # all-identical rows: zero variance everywhere means a
+                # zero smoothing floor too; gnb then has no signal and
+                # the caller's degenerate-input guard applies
+                float(np.var(X, axis=0).max()) == 0.0
+            )
+            if all(v > 0 for v in var0 + var1):
+                a, bq, c0 = gnb_coefficients(mu0, var0, mu1, var1, p1)
+                assert np.isfinite(a).all() and np.isfinite(bq).all()
+                assert np.isfinite(c0)
+
+    check()
